@@ -1,0 +1,24 @@
+"""deephisto_tpu — a TPU-native framework for histological whole-slide-image analysis.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of xubiker/deephisto:
+gigapixel pyramidal slide I/O, polygonal class annotations, four patch-sampling
+strategies (random/dense over annotated regions, random/dense over whole
+slides), patch-classifier training, and full-WSI sliding-window inference with
+stitched class maps — with sampling, preprocessing and compute running
+on-device and scaled over a ``jax.sharding.Mesh``.
+
+Layer map (bottom → top), mirroring the reference's five layers
+(see /root/repo/SURVEY.md §1):
+
+    L0  slide/      pyramidal slide I/O (synthetic, in-memory, on-disk tiled)
+    L1  anno/       annotation classes, palette, visualization
+        geometry/   exact polygon math (host numpy + device jnp)
+    L2  samplers/   the four patch samplers, on-device coordinate generation
+        ops/        Pallas/XLA kernels: patch gather, stitch, weighted sampling
+    L3  models/     flax ResNet family + patch_cls_simple training program
+        train/      train state, plateau LR, checkpointing, metrics
+    L4  predict/    full-WSI inference; examples/ CLI shims at repo root
+        parallel/   mesh construction + sharding rules
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,42 @@
+"""Test configuration: force JAX onto an 8-device virtual CPU platform so all
+mesh/sharding code paths run without TPUs (SURVEY.md §4), and provide shared
+synthetic fixtures.
+
+Must set env vars before the first ``import jax`` anywhere in the test run.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_slide():
+    from deephisto_tpu.slide import make_synthetic_slide
+
+    slide, annos = make_synthetic_slide(seed=7, height=768, width=896, max_layer=4)
+    return slide, annos
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    from deephisto_tpu.data import ensure_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("ds")
+    return ensure_synthetic_dataset(
+        root / "wss_synth", n_train=2, n_test=1, height=640, width=768, seed=3,
+        max_layer=4,
+    )
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
