@@ -1,0 +1,44 @@
+"""Patch-classifier model factory (mirror of reference
+models/patch_cls_simple/model.py:1-11: torchvision resnet18 + replaced fc).
+
+``get_model`` returns a flax ResNet; ``init_model`` initializes variables and,
+when cached torchvision ImageNet weights are available offline, loads them
+into the backbone (the reference always starts from ImageNet weights)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.resnet import build_resnet, load_torchvision_weights
+
+
+def get_model(n_classes: int, depth: int = 18, dtype=jnp.bfloat16):
+    """ResNet backbone with an ``n_classes`` head. ``depth`` selects the
+    backbone swap (18 default; 50 for the larger configuration)."""
+    return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype)
+
+
+def _model_depth(model) -> int:
+    from ...models.resnet import BasicBlock
+
+    basic = model.block_cls is BasicBlock
+    if tuple(model.stage_sizes) == (2, 2, 2, 2):
+        return 18
+    if tuple(model.stage_sizes) == (3, 4, 6, 3):
+        return 34 if basic else 50
+    return 101
+
+
+def init_model(
+    model, seed: int = 0, input_size: int = 224, pretrained: bool = True
+) -> dict:
+    variables = model.init(
+        jax.random.key(seed), jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    )
+    if pretrained:
+        loaded = load_torchvision_weights(dict(variables), depth=_model_depth(model))
+        if loaded is not None:
+            variables = loaded
+            print("Loaded torchvision ImageNet weights into the backbone.")
+    return variables

@@ -1,0 +1,60 @@
+"""Single-patch prediction CLI.
+
+The reference's predict.py is broken (undefined ``get_resnet``/``load_image``
+and an ImageNet normalization inconsistent with training — reference
+predict.py:10-16, SURVEY.md §2b.4-5). This is the repaired equivalent: load
+the best-model checkpoint, classify one image file, print the class — using
+the same /255 normalization as training.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...train.checkpoint import load_model as load_weights
+from .model import get_model
+from .utils import load_config
+
+CONFIG_PATH = Path(__file__).with_name("config.yaml")
+
+
+def load_image(image_path: Path | str, patch_size: int = 224) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(image_path).convert("RGB")
+    if im.size != (patch_size, patch_size):
+        im = im.resize((patch_size, patch_size), Image.BILINEAR)
+    return np.asarray(im, dtype=np.uint8)
+
+
+def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None = None) -> int:
+    cfg = cfg or load_config(CONFIG_PATH)
+    model = get_model(cfg["model"]["n_classes"], depth=cfg["model"].get("depth", 18))
+    variables = load_weights(weights_path)
+    img = load_image(image_path, cfg["dataset"]["patch_size"])
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0  # match training
+    logits = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x,
+        train=False,
+    )
+    return int(jnp.argmax(logits, -1)[0])
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m models.patch_cls_simple.predict <image> [weights]")
+        raise SystemExit(2)
+    image_path = argv[0]
+    weights = argv[1] if len(argv) > 1 else "./output/best_model.msgpack"
+    cls = predict(image_path, weights)
+    print(f"Predicted Class: {cls}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,327 @@
+"""Patch-classifier training program.
+
+Feature-parity rebuild of reference models/patch_cls_simple/train.py:59-315,
+TPU-native: the sampler's jitted device pipeline feeds a jitted (and, with
+multiple devices, data-parallel pjit'd) train step; Adam + plateau LR + CE;
+per-epoch train/val on the on-the-fly sampler and test on the extracted
+ImageFolder; best-val-accuracy checkpoint; loss/acc plots with the same
+filenames. Extensions beyond the reference: full-state resume checkpoints and
+a ``--resume`` flag.
+
+Deliberate deviations (documented): validation runs without the training
+augmentations (the reference validated on augmented batches, train.py:198-204);
+``train_steps`` comes from config (the reference computed it then hardcoded
+200, train.py:136-142 — our default config keeps 200).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...parallel import batch_sharding, make_mesh, replicated, shard_batch
+from ...samplers import AnnoRegionRndSampler, extract_and_save_subset
+from ...train import (
+    ReduceLROnPlateau,
+    create_train_state,
+    load_train_state,
+    save_model,
+    save_train_state,
+)
+from ...train.metrics import cross_entropy_loss
+from ...utils import get_img_ano_paths, resolve_dataset
+from . import utils
+from .model import get_model, init_model
+
+CONFIG_PATH = Path(__file__).with_name("config.yaml")
+
+
+def save_plot(train_values, val_values, test_values, title, filename, out_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    plt.figure()
+    plt.plot(train_values, label="train")
+    plt.plot(val_values, label="val")
+    plt.plot(test_values, label="test")
+    plt.title(title)
+    plt.xlabel("Epoch")
+    plt.legend()
+    plt.savefig(Path(out_dir) / filename)
+    plt.close()
+
+
+def prepare_test_patches(cfg):
+    ds_folder = resolve_dataset(cfg["dataset"]["folder"])
+    img_anno_paths_test = get_img_ano_paths(ds_folder, sample="test")
+
+    out_dir = Path(cfg["test"]["dir"])
+    if out_dir.exists() and out_dir.is_dir():
+        shutil.rmtree(out_dir)
+
+    extract_and_save_subset(
+        img_anno_paths=img_anno_paths_test,
+        out_folder=out_dir,
+        patch_size=cfg["dataset"]["patch_size"],
+        layer=cfg["dataset"]["layer"],
+        patches_per_class=cfg["test"]["samples_per_class"],
+    )
+
+
+def make_steps(model, mesh=None):
+    """Build the jitted train/eval steps. With a mesh, batches are sharded on
+    the data axis and the state is replicated; XLA inserts the grad all-reduce
+    and cross-device BatchNorm statistics under GSPMD."""
+
+    def train_step(state, images, labels):
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return cross_entropy_loss(logits, labels), (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return state, loss, correct
+
+    def eval_step(state, images, labels):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        loss = cross_entropy_loss(logits, labels)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return loss, correct, logits
+
+    if mesh is None:
+        return (
+            jax.jit(train_step, donate_argnums=(0,)),
+            jax.jit(eval_step),
+        )
+    data = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return (
+        jax.jit(
+            train_step,
+            in_shardings=(rep, data, data),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0,),
+        ),
+        jax.jit(eval_step, in_shardings=(rep, data, data), out_shardings=(rep, rep, data)),
+    )
+
+
+def train(cfg, resume: bool = False, mesh=None):
+    device = utils.get_device()
+    print(f"Using device: {device}")
+
+    n_devices = len(jax.devices())
+    if mesh is None and n_devices > 1:
+        mesh = make_mesh()
+        print(f"Data-parallel over {n_devices} devices: mesh {mesh.shape}")
+
+    save_dir = Path(cfg["training"]["save_dir"])
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out_dir = Path(cfg["training"]["out_dir"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    ds_folder = resolve_dataset(cfg["dataset"]["folder"])
+    img_anno_paths_train = get_img_ano_paths(ds_folder, sample="train")
+
+    train_val_dataset = AnnoRegionRndSampler(
+        img_anno_paths_train,
+        patch_size=cfg["dataset"]["patch_size"],
+        layer=cfg["dataset"]["layer"],
+        patches_from_one_region=cfg["dataset"]["patches_from_one_region"],
+        one_image_for_batch=cfg["training"]["one_image_for_batch"],
+    )
+    n_classes = cfg["model"]["n_classes"]
+    if len(train_val_dataset.classes) != n_classes:
+        print(
+            f"note: dataset has {len(train_val_dataset.classes)} classes, "
+            f"config says {n_classes}; using config."
+        )
+
+    # test set (ImageFolder extracted by --extract_test)
+    test_dir = Path(cfg["test"]["dir"])
+    test_data = None
+    if test_dir.is_dir():
+        test_images, test_labels, _ = utils.load_image_folder(test_dir)
+        test_data = (test_images, test_labels)
+    else:
+        print(f"test dir {test_dir} missing — run with --extract_test first; "
+              "skipping test evaluation.")
+
+    # model + state
+    model = get_model(n_classes, depth=cfg["model"].get("depth", 18))
+    variables = init_model(model, input_size=cfg["dataset"]["patch_size"])
+    state = create_train_state(model, variables, cfg["training"]["lr"])
+
+    scheduler = ReduceLROnPlateau(
+        lr=cfg["training"]["lr"], mode="min", factor=0.1, patience=5
+    )
+
+    start_epoch = 0
+    best_val_acc = 0.0
+    last_ckpt = save_dir / "last_state.msgpack"
+    if resume and last_ckpt.exists():
+        state, start_epoch, extra = load_train_state(last_ckpt, state)
+        best_val_acc = extra.get("best_val_acc", 0.0)
+        scheduler.lr = extra.get("lr", scheduler.lr)
+        print(f"Resumed from epoch {start_epoch} (best val acc {best_val_acc:.4f})")
+
+    train_step, eval_step = make_steps(model, mesh)
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    batch_size = cfg["training"]["batch_size"]
+    train_steps = cfg["training"].get(
+        "train_steps",
+        len(train_val_dataset) // batch_size * cfg["training"]["augment_factor"],
+    )
+
+    train_losses, val_losses, test_losses = [], [], []
+    train_accuracies, val_accuracies, test_accuracies = [], [], []
+
+    for epoch in range(start_epoch, cfg["training"]["n_epochs"]):
+        # ---- train ----
+        t0 = time.time()
+        train_loss, correct, total = 0.0, 0, 0
+        gen = train_val_dataset.jax_generator(
+            batch_size, train_steps, augment=True
+        )
+        for images, labels, _ in gen:
+            if mesh is not None:
+                images = shard_batch(images, mesh)
+                labels = shard_batch(labels, mesh)
+            state, loss, corr = train_step(state, images, labels)
+            train_loss += float(loss)
+            correct += int(corr)
+            total += batch_size
+        train_loss /= train_steps
+        train_acc = correct / total
+        train_losses.append(train_loss)
+        train_accuracies.append(train_acc)
+        dt = time.time() - t0
+        print(
+            f"Epoch {epoch + 1}/{cfg['training']['n_epochs']} "
+            f"({total / dt:.0f} patches/s)"
+        )
+        print(f"Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.4f}")
+
+        # ---- val ----
+        val_steps = cfg["training"]["val_steps"]
+        val_loss, correct, total = 0.0, 0, 0
+        for images, labels, _ in train_val_dataset.jax_generator(
+            batch_size, val_steps, augment=False
+        ):
+            if mesh is not None:
+                images = shard_batch(images, mesh)
+                labels = shard_batch(labels, mesh)
+            loss, corr, _ = eval_step(state, images, labels)
+            val_loss += float(loss)
+            correct += int(corr)
+            total += batch_size
+        val_loss /= val_steps
+        val_acc = correct / total
+        val_losses.append(val_loss)
+        val_accuracies.append(val_acc)
+        print(f"Val Loss: {val_loss:.4f}, Val Acc: {val_acc:.4f}")
+
+        new_lr = scheduler.step(val_loss)
+        from ...train import set_learning_rate
+
+        state = set_learning_rate(state, new_lr)
+        print(f"Current Learning Rate: {scheduler.get_last_lr()[0]:.6f}")
+
+        if val_acc > best_val_acc:
+            best_val_acc = val_acc
+            save_model(out_dir / "best_model.msgpack", state.params, state.batch_stats)
+
+        # ---- test ----
+        if test_data is not None:
+            test_images, test_labels = test_data
+            test_loss, correct, total, n_b = 0.0, 0, 0, 0
+            for s in range(0, len(test_images), batch_size):
+                imgs = test_images[s : s + batch_size]
+                labs = test_labels[s : s + batch_size]
+                if len(imgs) < batch_size:  # pad to fixed shape, mask the tail
+                    pad = batch_size - len(imgs)
+                    imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                    labs = np.concatenate([labs, np.repeat(labs[-1:], pad)])
+                else:
+                    pad = 0
+                x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+                y = jnp.asarray(labs)
+                if mesh is not None:
+                    x = shard_batch(x, mesh)
+                    y = shard_batch(y, mesh)
+                loss, _, logits = eval_step(state, x, y)
+                valid = batch_size - pad
+                preds = np.argmax(np.asarray(logits), -1)[:valid]
+                correct += int((preds == labs[:valid]).sum())
+                total += valid
+                test_loss += float(loss)
+                n_b += 1
+            test_loss /= max(n_b, 1)
+            test_acc = correct / max(total, 1)
+            test_losses.append(test_loss)
+            test_accuracies.append(test_acc)
+            print(f"Test Loss: {test_loss:.4f}, Test Acc: {test_acc:.4f}")
+
+        # ---- plots + resume checkpoint ----
+        save_plot(train_losses, val_losses, test_losses, "Loss", "loss.jpg", out_dir)
+        save_plot(train_accuracies, val_accuracies, test_accuracies, "Acc", "acc.jpg", out_dir)
+        save_train_state(
+            last_ckpt,
+            state,
+            epoch + 1,
+            extra={"best_val_acc": best_val_acc, "lr": scheduler.lr},
+        )
+
+    return {
+        "train_losses": train_losses,
+        "val_losses": val_losses,
+        "test_losses": test_losses,
+        "train_accuracies": train_accuracies,
+        "val_accuracies": val_accuracies,
+        "test_accuracies": test_accuracies,
+        "best_val_acc": best_val_acc,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--extract_test", action="store_true", default=False)
+    parser.add_argument("--resume", action="store_true", default=False)
+    parser.add_argument("--config", type=Path, default=CONFIG_PATH)
+    args = parser.parse_args(argv)
+
+    cfg = utils.load_config(args.config)
+
+    if args.extract_test:
+        prepare_test_patches(cfg)
+
+    train(cfg, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Stitching and coverage kernels: scatter-add per-patch values into downscaled
+whole-slide maps.
+
+Device replacements for the reference's host loops: logit accumulation into the
+class map (reference predict_full_patched.py:49-54) and the coverage
+accumulator update (full_samplers.py:81-94). Both are single XLA scatter-adds,
+which the TPU lowers to efficient on-chip updates; collisions (overlapping
+patches) accumulate exactly like the host ``+=``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("footprint",))
+def scatter_add_map(
+    acc_map: jnp.ndarray,
+    coords: jnp.ndarray,
+    values: jnp.ndarray,
+    footprint: int,
+) -> jnp.ndarray:
+    """Add ``values[i]`` over the f×f downscaled footprint of each patch.
+
+    acc_map: (dh, dw, C) float32 accumulator.
+    coords:  (N, 2) int32 — (y, x) patch corners **already divided** by the
+             downscale factor (i.e. in accumulator-grid units).
+    values:  (N, C) — per-patch vectors (e.g. logits) broadcast over the
+             footprint, or (N,) treated as (N, 1) for C == 1 maps.
+    footprint: patch_size // downscale, the number of accumulator cells a
+             patch spans per axis (reference predict_full_patched.py:50-53).
+    """
+    f = footprint
+    n = coords.shape[0]
+    if values.ndim == 1:
+        values = values[:, None]
+    dy = jnp.arange(f, dtype=jnp.int32)
+    yy = coords[:, 0:1] + dy[None, :]  # (N, f)
+    xx = coords[:, 1:2] + dy[None, :]  # (N, f)
+    yy = jnp.broadcast_to(yy[:, :, None], (n, f, f)).reshape(-1)
+    xx = jnp.broadcast_to(xx[:, None, :], (n, f, f)).reshape(-1)
+    vals = jnp.broadcast_to(values[:, None, :], (n, f * f, values.shape[1])).reshape(
+        -1, values.shape[1]
+    )
+    # out-of-range indices are dropped by jax's scatter clipping mode "drop"
+    return acc_map.at[yy, xx].add(vals, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("footprint",))
+def accumulate_coverage(
+    accum: jnp.ndarray, coords_ds: jnp.ndarray, footprint: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Coverage update: accum[footprint cells] += 1; returns (accum, filled_ratio).
+
+    Matches reference full_samplers.py:81-94 — filled_ratio is the fraction of
+    nonzero accumulator cells after the update.
+    """
+    accum3 = scatter_add_map(accum[..., None], coords_ds, jnp.ones((coords_ds.shape[0],), accum.dtype), footprint)
+    accum = accum3[..., 0]
+    filled_ratio = jnp.count_nonzero(accum) / accum.size
+    return accum, filled_ratio

@@ -1,0 +1,301 @@
+"""Whole-slide patch samplers: coverage-guided random and dense tiling (L2).
+
+TPU-native rebuild of reference patch_samplers/full_samplers.py. The
+reference's shared-memory coverage accumulator + speculative process pool
+(full_samplers.py:57-123, 229-261) collapses into a single jitted device step:
+
+    probmap → Gumbel-top-k cell draw (without replacement) → jitter → clamp
+    → patch gather → scatter-add coverage → filled ratio
+
+The "guarantee ≥ batch_size candidate cells" rule (full_samplers.py:105-114,
+which adds random empty cells one at a time) falls out of the Gumbel trick for
+free: saturated cells get a finite-but-tiny key, so they are picked exactly
+when fewer than batch_size unsaturated cells remain — and uniformly at random
+among themselves, which is the reference's semantics.
+
+Deliberate fix (SURVEY.md §2b.8): ``generator_torch`` normalizes /255 in BOTH
+samplers — the reference's random sampler forgot it (full_samplers.py:282-290)
+while its dense sampler applied it (:441-443).
+"""
+
+from __future__ import annotations
+
+import functools
+from enum import Enum
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import gather_patches_xla
+from ..ops.stitch import scatter_add_map
+from ..slide import Patch, Slide, open_slide
+
+
+class SamplerExecutionMode(Enum):
+    """Kept for API parity (reference full_samplers.py:16-18). Both modes run
+    the same device pipeline here — there are no worker processes to choose
+    between; the enum only controls nothing-burger staging details."""
+
+    INMEMORY_SINGLEPROC = 1
+    ONDISK_MULTIPROC = 2
+
+
+def _load_layer(path_or_slide, layer: int):
+    if isinstance(path_or_slide, Slide):
+        slide = path_or_slide
+        h, w = slide.layer_size(layer)
+        return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
+    with open_slide(path_or_slide) as slide:
+        h, w = slide.layer_size(layer)
+        return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_size", "patch_size", "downscale", "dense_level")
+)
+def _rnd_step(
+    key,
+    accum: jnp.ndarray,
+    image: jnp.ndarray,
+    h: int,
+    w: int,
+    batch_size: int,
+    patch_size: int,
+    downscale: int,
+    dense_level: int,
+):
+    """One coverage-guided random batch, fully on device."""
+    d = downscale
+    ps = patch_size
+    dh, dw = accum.shape
+    k_cells, k_jit = jax.random.split(key)
+
+    # candidate cells: unsaturated cells weighted uniformly; saturated cells
+    # get a tiny finite key so they only win when < batch_size remain
+    p = jnp.where(accum >= dense_level, 0.0, 1.0)
+    logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
+    g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
+    _, cells = jax.lax.top_k(logp + g, batch_size)
+
+    cy = cells // dw
+    cx = cells % dw
+    pd2 = ps // d // 2
+    jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, d)
+    y = (cy - pd2) * d + jit_yx[0]
+    x = (cx - pd2) * d + jit_yx[1]
+    y = jnp.clip(y, 0, h - ps)
+    x = jnp.clip(x, 0, w - ps)
+    coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
+
+    patches = gather_patches_xla(image, coords, ps)
+
+    accum3 = scatter_add_map(
+        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype), ps // d
+    )
+    accum = accum3[..., 0]
+    filled_ratio = jnp.count_nonzero(accum) / accum.size
+    return accum, patches, coords, filled_ratio
+
+
+class FullImageRndSampler:
+    """Coverage-guided random tiling of a whole slide
+    (reference full_samplers.py:21-299)."""
+
+    def __init__(
+        self,
+        psimage_path: Path | str | Slide,
+        layer: int,
+        patch_size: int,
+        batch_size: int,
+        mode: SamplerExecutionMode = SamplerExecutionMode.INMEMORY_SINGLEPROC,
+        dense_level: int = 2,
+        speedup: int = 16,
+    ):
+        self.mode = mode
+        self.layer = layer
+        data, (self.h, self.w) = _load_layer(psimage_path, layer)
+        self.data = data
+        self._image_dev = jnp.asarray(np.ascontiguousarray(data))
+        self.dh = self.h // speedup
+        self.dw = self.w // speedup
+        print(f"Image {self.h} x {self.w} at {speedup}x -> {self.dh} x {self.dw}")
+        self.patch_size = patch_size
+        self.batch_size = batch_size
+        self._downscale = speedup
+        self.dense_level = dense_level
+        self._filled_ratio: list[float] = []
+        self._accum: np.ndarray | None = None
+        self._key = jax.random.key(0)
+
+    def seed(self, seed: int) -> "FullImageRndSampler":
+        self._key = jax.random.key(seed)
+        return self
+
+    def _device_generator(self):
+        accum = jnp.zeros((self.dh, self.dw), jnp.float32)
+        filled = 0.0
+        while filled < 1.0:
+            self._key, sub = jax.random.split(self._key)
+            accum, patches, coords, fr = _rnd_step(
+                sub,
+                accum,
+                self._image_dev,
+                self.h,
+                self.w,
+                self.batch_size,
+                self.patch_size,
+                self._downscale,
+                self.dense_level,
+            )
+            filled = float(fr)
+            self._filled_ratio.append(filled)
+            yield patches, coords, filled
+        self._accum = np.asarray(accum)
+
+    def generator(self) -> Iterator[tuple[list[Patch], float]]:
+        """Yield (patches, filled_ratio) until the accumulator is fully
+        covered (reference full_samplers.py:263-274)."""
+        for patches, coords, filled in self._device_generator():
+            data = np.asarray(patches)
+            crd = np.asarray(coords)
+            plist = [
+                Patch(
+                    layer=self.layer,
+                    pos_x=int(crd[i, 1]),
+                    pos_y=int(crd[i, 0]),
+                    patch_size=self.patch_size,
+                    data=data[i],
+                )
+                for i in range(data.shape[0])
+            ]
+            yield plist, filled
+
+    def __iter__(self):
+        return self.generator()
+
+    def generator_torch(self):
+        """(features f32 /255, coords f32, filled_ratio) batches."""
+        import torch
+
+        for patches, coords, filled in self._device_generator():
+            f = torch.from_numpy(np.asarray(patches).astype(np.float32) / 255.0)
+            c = torch.from_numpy(np.asarray(coords).astype(np.float32))
+            yield f, c, filled
+
+    def jax_generator(self):
+        """Device-resident fast path: (patches u8 on device, coords, filled)."""
+        yield from self._device_generator()
+
+    # -- diagnostics (reference full_samplers.py:65-70, 292-299) -------------
+
+    def plot_empty_area_history(self, filename: str):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.figure()
+        plt.plot(self._filled_ratio)
+        plt.title("Empty area")
+        plt.xlabel("iteration")
+        plt.ylabel("empty area percentage")
+        plt.savefig(filename, format="jpg", dpi=300)
+        plt.close()
+
+    def visualize_heatmap(self, name: str):
+        from PIL import Image
+
+        if self._accum is not None:
+            a = (self._accum / np.max(self._accum) * 255).astype(np.uint8)
+            Image.fromarray(a).save(name)
+            a = np.where(a > 0, 255, 0).astype(np.uint8)
+            # binary companion image: underscore-prefixed *filename* (the
+            # reference prefixes the whole path, full_samplers.py:297-299,
+            # which breaks for absolute paths)
+            p = Path(name)
+            Image.fromarray(a).save(p.with_name("_" + p.name), quality=98)
+
+
+class FullImageDenseSampler:
+    """Deterministic stride tiling of a whole slide
+    (reference full_samplers.py:302-452)."""
+
+    def __init__(
+        self,
+        psimage_path: Path | str | Slide,
+        layer: int,
+        patch_size: int,
+        batch_size: int,
+        mode: SamplerExecutionMode = SamplerExecutionMode.INMEMORY_SINGLEPROC,
+        stride: int | None = None,
+    ):
+        self.mode = mode
+        self.layer = layer
+        data, (self.h, self.w) = _load_layer(psimage_path, layer)
+        self.data = data
+        self._image_dev = jnp.asarray(np.ascontiguousarray(data))
+        self.patch_size = patch_size
+        self.batch_size = batch_size
+        self.stride = stride if stride is not None else patch_size
+        print(f"Image {self.h} x {self.w}")
+
+    def _create_batched_coords(self) -> list[np.ndarray]:
+        """Grid + last-column + last-row + bottom-right corner, batched with
+        last-batch padding by repeating the final coord (exact port of
+        reference full_samplers.py:374-404)."""
+        ps, s = self.patch_size, self.stride
+        coords = [
+            (y, x)
+            for y in range(0, self.h - ps, s)
+            for x in range(0, self.w - ps, s)
+        ]
+        coords += [(y, self.w - ps) for y in range(0, self.h - ps, s)]
+        coords += [(self.h - ps, x) for x in range(0, self.w - ps, s)]
+        coords.append((self.h - ps, self.w - ps))
+
+        batched = [
+            coords[i : i + self.batch_size]
+            for i in range(0, len(coords), self.batch_size)
+        ]
+        while len(batched[-1]) < self.batch_size:
+            batched[-1].append(coords[-1])
+        return [np.asarray(b, dtype=np.int32) for b in batched]
+
+    def _device_generator(self):
+        batched = self._create_batched_coords()
+        n = len(batched)
+        for i, c in enumerate(batched):
+            patches = gather_patches_xla(self._image_dev, jnp.asarray(c), self.patch_size)
+            yield patches, c, i / n
+
+    def generator(self) -> Iterable[tuple[list[Patch], float]]:
+        for patches, coords, progress in self._device_generator():
+            data = np.asarray(patches)
+            plist = [
+                Patch(
+                    layer=self.layer,
+                    pos_x=int(coords[i, 1]),
+                    pos_y=int(coords[i, 0]),
+                    patch_size=self.patch_size,
+                    data=data[i],
+                )
+                for i in range(data.shape[0])
+            ]
+            yield plist, progress
+
+    def __iter__(self):
+        return self.generator()
+
+    def generator_torch(self):
+        import torch
+
+        for patches, coords, progress in self._device_generator():
+            f = torch.from_numpy(np.asarray(patches).astype(np.float32) / 255.0)
+            c = torch.from_numpy(coords.astype(np.float32))
+            yield f, c, progress
+
+    def jax_generator(self):
+        yield from self._device_generator()

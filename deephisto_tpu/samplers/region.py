@@ -1,0 +1,635 @@
+"""Annotated-region patch samplers — the core subsystem (L2).
+
+TPU-native rebuild of the reference's ``AnnoRegionRndSampler`` /
+``AnnoRegionDenseSampler`` / ``extract_and_save_subset`` (reference
+region_samplers.py:252-909). The reference hides CPU shapely math and tile
+decode behind process pools; here the whole sampling step — weighted
+class/region picks, rejection sampling with exact polygon∩patch areas, patch
+gather — is ONE jitted device program over fixed shapes:
+
+* region polygons live on device as padded (R, MAX_V, 2) arrays,
+* rejection sampling runs T trials per patch in parallel (vmapped exact
+  clip areas), with precomputed per-region anchor coords as the fallback when
+  all T trials miss (the reference's miss_limit retry loop,
+  region_samplers.py:120-142, without data-dependent control flow),
+* weighted picks are Gumbel categorical draws over padded weight matrices,
+* patches are gathered from the HBM-resident SlideBank.
+
+Deliberate fixes of reference quirks (SURVEY.md §2b — behavior differences are
+intentional and documented):
+  1. forcing class 0 works (``cls_idx`` checked against None, not falsiness —
+     reference region_samplers.py:555 silently ignored ``cls_idx=0``),
+  2. coords yield (pos_y, pos_x) — the reference's iterable dataset yielded
+     (pos_y, pos_y) (region_samplers.py:771-773),
+  3. infeasible regions (too small / no qualifying grid cell) are excluded
+     from the weight tables up front instead of being retried forever
+     (region_samplers.py:571-572).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..anno.parse import RegionAnnotation, parse_annotations
+from ..geometry import clip_area_boxes, pad_polygons
+from ..geometry.device import clip_area_batch
+from ..ops.gather import gather_patches_multi_xla
+from ..ops.sampling import NEG_INF
+from ..slide import Patch
+from .bank import SlideBank
+from .weights import area_weights, calc_weights
+
+DEFAULT_TRIALS = 32  # parallel rejection trials per patch (vs miss_limit=500 serial)
+N_ANCHORS = 8
+
+
+# ---------------------------------------------------------------------------
+# Device-side region table
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RegionTable:
+    """All regions of a dataset as fixed-shape device arrays."""
+
+    verts: jnp.ndarray  # (R, MAX_V, 2) f32 layer-coord polygons (x, y)
+    area: jnp.ndarray  # (R,) f32
+    class_idx: jnp.ndarray  # (R,) i32
+    image_idx: jnp.ndarray  # (R,) i32
+    sample_lo: jnp.ndarray  # (R, 2) i32 — (y, x) inclusive lower trial bound
+    sample_hi: jnp.ndarray  # (R, 2) i32 — exclusive upper trial bound
+    anchors: jnp.ndarray  # (R, N_ANCHORS, 2) i32 — guaranteed-valid (y, x)
+    n_anchors: jnp.ndarray  # (R,) i32
+    feasible: np.ndarray  # (R,) bool (host)
+    max_v: int
+
+
+def _region_anchors(
+    reg: RegionAnnotation, patch_size: int, region_intersection: float, k: int = N_ANCHORS
+) -> np.ndarray:
+    """Up to k dense-grid coords whose patch∩region area qualifies.
+
+    These are the fixed-shape stand-in for the reference's unbounded retry
+    loops: a patch whose T random trials all miss falls back to a random
+    anchor, so every emitted patch is always valid.
+    """
+    x0, y0, x1, y1 = reg.bounds
+    h, w = reg.layer_size
+    ps = patch_size
+    ylo, yhi = max(0, math.floor(y0)), min(math.ceil(y1) - ps, h - ps)
+    xlo, xhi = max(0, math.floor(x0)), min(math.ceil(x1) - ps, w - ps)
+    if yhi < ylo or xhi < xlo:
+        # region smaller than a patch along an axis; single candidate row/col
+        yhi, xhi = max(yhi, ylo), max(xhi, xlo)
+    step_y = max(1, min(ps // 4, max(1, (yhi - ylo) // 32)))
+    step_x = max(1, min(ps // 4, max(1, (xhi - xlo) // 32)))
+    ys = np.arange(ylo, yhi + 1, step_y)
+    xs = np.arange(xlo, xhi + 1, step_x)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    cand = np.stack([yy.ravel(), xx.ravel()], axis=1)
+    boxes = np.stack(
+        [cand[:, 1], cand[:, 0], cand[:, 1] + ps, cand[:, 0] + ps], axis=1
+    ).astype(np.float64)
+    areas = clip_area_boxes(reg.vertices_layer, boxes)
+    ok = np.where(areas > ps * ps * region_intersection)[0]
+    if len(ok) == 0:
+        return np.zeros((0, 2), dtype=np.int32)
+    pick = ok[np.linspace(0, len(ok) - 1, min(k, len(ok))).round().astype(int)]
+    return cand[pick].astype(np.int32)
+
+
+def build_region_table(
+    regions: dict[str, list[RegionAnnotation]],
+    classes: list[str],
+    patch_size: int,
+    region_intersection: float,
+    max_v: int | None = None,
+) -> tuple[RegionTable, list[RegionAnnotation]]:
+    """Flatten a parsed region dict into a RegionTable (+ the flat host list,
+    index-aligned with the table rows)."""
+    flat: list[RegionAnnotation] = []
+    for cls in classes:
+        flat.extend(regions.get(cls, []))
+    if not flat:
+        raise ValueError("no regions to sample from")
+
+    if max_v is None:
+        max_v = max(len(r.vertices_layer) for r in flat)
+        max_v = max(8, -(-max_v // 8) * 8)
+
+    ps = patch_size
+    R = len(flat)
+    verts = pad_polygons([r.vertices_layer for r in flat], max_v)
+    area = np.array([r.area for r in flat], dtype=np.float32)
+    class_idx = np.array([classes.index(r.class_) for r in flat], dtype=np.int32)
+    image_idx = np.array([r.image_idx for r in flat], dtype=np.int32)
+
+    lo = np.zeros((R, 2), dtype=np.int32)
+    hi = np.zeros((R, 2), dtype=np.int32)
+    anchors = np.zeros((R, N_ANCHORS, 2), dtype=np.int32)
+    n_anchors = np.zeros((R,), dtype=np.int32)
+    feasible = np.zeros((R,), dtype=bool)
+
+    for i, r in enumerate(flat):
+        x0, y0, x1, y1 = r.bounds
+        h, w = r.layer_size
+        # trial bounds mirror reference region_samplers.py:123-124, additionally
+        # clamped so patches stay inside the layer (the reference could sample
+        # up to w/h and rely on the codec; we keep gathers in-bounds)
+        ylo = int(np.clip(np.floor(y0), 0, max(0, h - ps)))
+        xlo = int(np.clip(np.floor(x0), 0, max(0, w - ps)))
+        yhi = int(np.clip(min(max(y0 + 1, y1 - ps), h - ps), ylo, h - ps)) + 1
+        xhi = int(np.clip(min(max(x0 + 1, x1 - ps), w - ps), xlo, w - ps)) + 1
+        lo[i] = (ylo, xlo)
+        hi[i] = (yhi, xhi)
+        if r.area >= ps * ps * region_intersection:
+            a = _region_anchors(r, ps, region_intersection)
+            n_anchors[i] = len(a)
+            anchors[i, : len(a)] = a
+            feasible[i] = len(a) > 0
+
+    table = RegionTable(
+        verts=jnp.asarray(verts),
+        area=jnp.asarray(area),
+        class_idx=jnp.asarray(class_idx),
+        image_idx=jnp.asarray(image_idx),
+        sample_lo=jnp.asarray(lo),
+        sample_hi=jnp.asarray(hi),
+        anchors=jnp.asarray(anchors),
+        n_anchors=jnp.asarray(np.maximum(n_anchors, 1)),
+        feasible=feasible,
+        max_v=max_v,
+    )
+    return table, flat
+
+
+# ---------------------------------------------------------------------------
+# Random region sampler
+# ---------------------------------------------------------------------------
+
+
+class AnnoRegionRndSampler:
+    """Class-balanced weighted random patch sampler over annotated regions.
+
+    Constructor surface mirrors reference region_samplers.py:254-323; the
+    sampling semantics per batch mirror ``_gen_single_proc``
+    (region_samplers.py:525-591): G = ceil(batch/k) weighted region draws, k
+    patches per region (``patches_from_one_region``), optional
+    ``one_image_for_batch`` pinning, uniform class choice, per-class weighted
+    region choice with ``region_area_influence`` area blending.
+    """
+
+    def __init__(
+        self,
+        img_anno_paths: list[tuple[Path, Path]],
+        layer: int,
+        patch_size: int,
+        region_intersection: float = 0.75,
+        patches_from_one_region: int = 4,
+        region_area_influence: float = 0.5,
+        classes: list[str] | None = None,
+        one_image_for_batch: bool = False,
+        seed: int = 0,
+        n_trials: int = DEFAULT_TRIALS,
+        slide_bank: SlideBank | None = None,
+        verbose: bool = True,
+    ):
+        self.img_anno_paths = img_anno_paths
+        self.layer = layer
+        self.patch_size = patch_size
+        self.region_intersection = region_intersection
+        self.patches_from_one_region = patches_from_one_region
+        self.region_area_influence = region_area_influence
+        self.one_image_for_batch = one_image_for_batch
+        self.n_trials = n_trials
+        self._key = jax.random.key(seed)
+
+        self.regions, self.regions_per_image = parse_annotations(
+            img_anno_paths, layer=layer, classes=classes, verbose=verbose
+        )
+        self.classes = sorted(self.regions.keys())
+        if verbose:
+            self._print_anno_stats(self.regions)
+
+        # the reference's four weight sets (API parity; also used below)
+        (
+            self._reg_w_all,
+            self._reg_w_per_img,
+            self._img_w,
+            self._img_w_all,
+        ) = calc_weights(
+            self.regions,
+            self.regions_per_image,
+            self.classes,
+            region_area_influence,
+        )
+
+        self.table, self._flat_regions = build_region_table(
+            self.regions, self.classes, patch_size, region_intersection
+        )
+        self._build_weight_matrices()
+
+        self.bank = slide_bank or SlideBank(
+            [p for p, _ in img_anno_paths], layer=layer
+        )
+
+        self._jitted = {}
+
+    # -- construction helpers ------------------------------------------------
+
+    def _print_anno_stats(self, regions):
+        areas_per_cls = {
+            cls: sum(r.area for r in regs) for cls, regs in regions.items()
+        }
+        total = sum(areas_per_cls.values())
+        print("Total area per class:")
+        for cls, a in areas_per_cls.items():
+            print(f"\t{cls}: {round(a / 1e9, 2)} Gpx ({round(a / total * 100, 2)}%)")
+        print(f"Approximate number of patches in dataset: {len(self)}")
+
+    def _build_weight_matrices(self):
+        """Pad the per-class / per-image weight dicts into dense matrices over
+        the global region axis, zeroing infeasible regions."""
+        C = len(self.classes)
+        R = len(self._flat_regions)
+        n_img = len(self.img_anno_paths)
+        feas = self.table.feasible
+
+        w_cls_region = np.zeros((C, R), dtype=np.float32)
+        w_img_cls_region = np.zeros((n_img, C, R), dtype=np.float32)
+
+        # map each flat row back to its position within its class / image lists
+        pos_in_class: dict[str, int] = {c: 0 for c in self.classes}
+        pos_in_img: dict[tuple[int, str], int] = {}
+        for r_idx, reg in enumerate(self._flat_regions):
+            c = self.classes.index(reg.class_)
+            j = pos_in_class[reg.class_]
+            pos_in_class[reg.class_] = j + 1
+            if feas[r_idx]:
+                w_cls_region[c, r_idx] = self._reg_w_all[reg.class_][j]
+            key = (reg.image_idx, reg.class_)
+            jj = pos_in_img.get(key, 0)
+            pos_in_img[key] = jj + 1
+            if feas[r_idx]:
+                w_img_cls_region[reg.image_idx, c, r_idx] = self._reg_w_per_img[
+                    reg.image_idx
+                ][reg.class_][jj]
+
+        def _lognorm(w, axis):
+            s = w.sum(axis=axis, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = np.where(w > 0, np.log(np.maximum(w / np.maximum(s, 1e-38), 1e-38)), NEG_INF)
+            return out.astype(np.float32)
+
+        self._logw_cls_region = jnp.asarray(_lognorm(w_cls_region, 1))
+        self._logw_img_cls_region = jnp.asarray(_lognorm(w_img_cls_region, 2))
+        self._cls_available = jnp.asarray(
+            jnp.where(jnp.asarray(w_cls_region.sum(1) > 0), 0.0, NEG_INF)
+        )
+        self._img_cls_available = jnp.asarray(
+            np.where(w_img_cls_region.sum(2) > 0, 0.0, NEG_INF).astype(np.float32)
+        )
+        self._logw_img_all = jnp.asarray(
+            np.log(np.maximum(self._img_w_all, 1e-38)).astype(np.float32)
+        )
+
+    # -- the jitted sampling step -------------------------------------------
+
+    def _get_step(self, n: int, forced_cls: int | None):
+        sig = (n, forced_cls)
+        fn = self._jitted.get(sig)
+        if fn is not None:
+            return fn
+
+        k = self.patches_from_one_region
+        G = -(-n // k)
+        T = self.n_trials
+        ps = self.patch_size
+        ri = self.region_intersection
+        one_image = self.one_image_for_batch
+        tbl = self.table
+        max_v = tbl.max_v
+
+        def step(key, verts, area, class_idx, image_idx, lo, hi, anchors,
+                 n_anchors, logw_cls_region, logw_img_cls_region,
+                 cls_available, img_cls_available, logw_img_all, images):
+            k_img, k_cls, k_reg, k_trial, k_anchor = jax.random.split(key, 5)
+
+            if one_image:
+                img = jax.random.categorical(k_img, logw_img_all)
+                cls_logits = img_cls_available[img]  # (C,)
+                logw_region = logw_img_cls_region[img]  # (C, R)
+            else:
+                cls_logits = cls_available
+                logw_region = logw_cls_region
+
+            if forced_cls is None:
+                cls = jax.random.categorical(k_cls, cls_logits, shape=(G,))
+            else:
+                cls = jnp.full((G,), forced_cls, dtype=jnp.int32)
+
+            region = jax.random.categorical(k_reg, logw_region[cls], axis=-1)  # (G,)
+
+            # rejection trials: (G, k, T) candidate corners inside region bbox
+            rlo = lo[region].astype(jnp.float32)  # (G, 2)
+            rhi = hi[region].astype(jnp.float32)
+            u = jax.random.uniform(k_trial, (G, k, T, 2))
+            yx = jnp.floor(rlo[:, None, None, :] + u * (rhi - rlo)[:, None, None, :])
+            yx = yx.astype(jnp.int32)
+
+            boxes = jnp.stack(
+                [
+                    yx[..., 1].astype(jnp.float32),
+                    yx[..., 0].astype(jnp.float32),
+                    yx[..., 1].astype(jnp.float32) + ps,
+                    yx[..., 0].astype(jnp.float32) + ps,
+                ],
+                axis=-1,
+            )  # (G, k, T, 4)
+            trial_verts = jnp.broadcast_to(
+                verts[region][:, None, None], (G, k, T, max_v, 2)
+            ).reshape(G * k * T, max_v, 2)
+            areas = clip_area_batch(trial_verts, boxes.reshape(G * k * T, 4))
+            accept = (areas > ps * ps * ri).reshape(G, k, T)
+
+            first = jnp.argmax(accept, axis=-1)  # (G, k) first accepted trial
+            got = jnp.any(accept, axis=-1)  # (G, k)
+            take = jnp.take_along_axis(
+                yx, first[..., None, None], axis=2
+            )[:, :, 0, :]  # (G, k, 2)
+
+            # anchor fallback for all-miss patches
+            a_idx = jax.random.randint(k_anchor, (G, k), 0, 1_000_000) % n_anchors[
+                region
+            ][:, None]
+            anchor = jnp.take_along_axis(
+                anchors[region], a_idx[..., None], axis=1
+            )  # (G, k, 2)
+
+            coords = jnp.where(got[..., None], take, anchor)  # (G, k, 2)
+
+            labels = jnp.broadcast_to(cls[:, None], (G, k)).reshape(-1)[:n]
+            img_idx = jnp.broadcast_to(image_idx[region][:, None], (G, k)).reshape(-1)[:n]
+            coords = coords.reshape(-1, 2)[:n]
+            patches = gather_patches_multi_xla(images, img_idx, coords, ps)
+            return patches, labels.astype(jnp.int32), coords, img_idx
+
+        fn = jax.jit(step)
+        self._jitted[sig] = fn
+        return fn
+
+    def _sample_batch(self, n: int, forced_cls: int | None = None):
+        """One device batch: (patches_u8, labels, coords, image_idx)."""
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_step(n, forced_cls)
+        t = self.table
+        return fn(
+            sub, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
+            t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+            self._logw_img_cls_region, self._cls_available,
+            self._img_cls_available, self._logw_img_all, self.bank.images,
+        )
+
+    # -- public generator API (reference parity) -----------------------------
+
+    def structs_generator(
+        self,
+        batch_size: int,
+        n_batches: int,
+        batches_per_worker: int = 2,
+        max_workers: int | None = None,
+        cls_idx: int | None = None,
+    ) -> Iterator[list[tuple[Patch, int]]]:
+        """Yield ``n_batches`` lists of (Patch, class_idx).
+
+        ``batches_per_worker`` / ``max_workers`` are accepted for API parity
+        with the process-pool reference (region_samplers.py:641-683) but are
+        no-ops: batches come from the device pipeline.
+        """
+        for _ in range(n_batches):
+            patches, labels, coords, img_idx = self._sample_batch(batch_size, cls_idx)
+            data = np.asarray(patches)
+            lab = np.asarray(labels)
+            crd = np.asarray(coords)
+            yield [
+                (
+                    Patch(
+                        layer=self.layer,
+                        pos_x=int(crd[i, 1]),
+                        pos_y=int(crd[i, 0]),
+                        patch_size=self.patch_size,
+                        data=data[i],
+                    ),
+                    int(lab[i]),
+                )
+                for i in range(batch_size)
+            ]
+
+    def jax_generator(
+        self,
+        batch_size: int,
+        n_batches: int,
+        cls_idx: int | None = None,
+        augment: bool = False,
+        dtype=jnp.float32,
+    ):
+        """Device-resident fast path: yields (features, labels, coords) with
+        features already normalized (and optionally flip-augmented) on device."""
+        from ..ops.augment import preprocess_batch
+
+        for _ in range(n_batches):
+            patches, labels, coords, _ = self._sample_batch(batch_size, cls_idx)
+            if augment:
+                self._key, sub = jax.random.split(self._key)
+                feats = preprocess_batch(patches, sub, augment=True, dtype=dtype)
+            else:
+                feats = preprocess_batch(patches, dtype=dtype)
+            yield feats, labels, coords.astype(jnp.float32)
+
+    def torch_generator(
+        self,
+        batch_size: int,
+        n_batches: int,
+        batches_per_worker: int = 2,
+        transforms=None,
+        max_workers: int | None = None,
+        cls_idx: int | None = None,
+    ):
+        """Reference-parity torch output: (features f32 NHWC /255, labels
+        int64, coords f32) per batch (region_samplers.py:685-738)."""
+        import torch
+
+        for feats, labels, coords in self.jax_generator(
+            batch_size, n_batches, cls_idx=cls_idx
+        ):
+            f = torch.from_numpy(np.asarray(feats))
+            l = torch.from_numpy(np.asarray(labels)).to(torch.int64)
+            c = torch.from_numpy(np.asarray(coords))
+            if transforms is not None:
+                f = transforms(f)
+            yield f, l, c
+
+    def torch_iterable_dataset(self):
+        """Infinite torch IterableDataset over single patches
+        (region_samplers.py:740-786; coords fixed to (y, x))."""
+        from torch.utils.data import IterableDataset
+
+        sampler = self
+
+        class _DS(IterableDataset):
+            def __iter__(self):
+                import torch
+
+                while True:
+                    for feats, labels, coords in sampler.jax_generator(
+                        sampler.patches_from_one_region, 1
+                    ):
+                        f = torch.from_numpy(np.asarray(feats))
+                        l = torch.from_numpy(np.asarray(labels)).to(torch.int64)
+                        c = torch.from_numpy(np.asarray(coords))
+                        for i in range(f.shape[0]):
+                            yield f[i], l[i], c[i]
+
+        return _DS()
+
+    def __len__(self):
+        """Approximate dataset size (reference region_samplers.py:788-796)."""
+        ps = self.patch_size * self.layer
+        return int(
+            sum(sum(r.area for r in lst) for lst in self.regions.values())
+            / (ps * ps)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Dense region sampler
+# ---------------------------------------------------------------------------
+
+
+class AnnoRegionDenseSampler:
+    """Deterministic dense-grid patch extraction over annotated regions
+    (reference region_samplers.py:799-871): for each class, each region, every
+    stride-grid patch whose exact intersection area qualifies, in order."""
+
+    def __init__(
+        self,
+        img_anno_paths: list[tuple[Path, Path]],
+        layer: int,
+        patch_size: int,
+        stride: int,
+        region_intersection: float = 0.75,
+        classes: list[str] | None = None,
+        slide_bank: SlideBank | None = None,
+        verbose: bool = True,
+    ):
+        self.img_anno_paths = img_anno_paths
+        self.layer = layer
+        self.patch_size = patch_size
+        self.stride = stride
+        self.region_intersection = region_intersection
+        self.regions, _ = parse_annotations(
+            img_anno_paths, layer=layer, classes=classes, verbose=verbose
+        )
+        self.classes = sorted(self.regions.keys())
+        self.bank = slide_bank or SlideBank(
+            [p for p, _ in img_anno_paths], layer=layer
+        )
+
+    def _region_coords(self, reg: RegionAnnotation) -> np.ndarray:
+        """Qualifying dense-grid (y, x) coords for one region — the vectorized
+        equivalent of reference region_samplers.py:145-191."""
+        ps = self.patch_size
+        h, w = reg.layer_size
+        x0, y0, x1, y1 = (round(v) for v in reg.bounds)
+        x1 = min(x1, w - ps)
+        y1 = min(y1, h - ps)
+        ys = np.arange(y0, y1, self.stride)
+        xs = np.arange(x0, x1, self.stride)
+        if len(ys) == 0 or len(xs) == 0:
+            return np.zeros((0, 2), dtype=np.int32)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        cand = np.stack([yy.ravel(), xx.ravel()], axis=1)
+        boxes = np.stack(
+            [cand[:, 1], cand[:, 0], cand[:, 1] + ps, cand[:, 0] + ps], axis=1
+        ).astype(np.float64)
+        areas = clip_area_boxes(reg.vertices_layer, boxes)
+        ok = areas > ps * ps * self.region_intersection
+        return cand[ok].astype(np.int32)
+
+    def structs_generator(self) -> Iterator[tuple[Patch, int]]:
+        """Yield every qualifying (Patch, class_idx), class by class, region by
+        region (reference region_samplers.py:866-871), gathering from the
+        device bank in chunks."""
+        chunk = 256
+        for cls_idx, cls in enumerate(self.classes):
+            for reg in self.regions[cls]:
+                coords = self._region_coords(reg)
+                for s in range(0, len(coords), chunk):
+                    c = coords[s : s + chunk]
+                    sidx = np.full((len(c),), reg.image_idx, dtype=np.int32)
+                    data = np.asarray(self.bank.gather(sidx, c, self.patch_size))
+                    for i in range(len(c)):
+                        yield (
+                            Patch(
+                                layer=self.layer,
+                                pos_x=int(c[i, 1]),
+                                pos_y=int(c[i, 0]),
+                                patch_size=self.patch_size,
+                                data=data[i],
+                            ),
+                            cls_idx,
+                        )
+
+
+# ---------------------------------------------------------------------------
+# Test-set extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_and_save_subset(
+    img_anno_paths: list[tuple[Path, Path]],
+    out_folder: Path,
+    patch_size: int,
+    layer: int,
+    patches_per_class: int,
+    intersection: float = 0.95,
+    seed: int = 0,
+):
+    """Build an ImageFolder-layout JPEG patch dataset on disk
+    (reference region_samplers.py:874-909) — with the class-forcing bug fixed,
+    so class-k folders really contain class-k patches."""
+    from PIL import Image
+
+    sampler = AnnoRegionRndSampler(
+        img_anno_paths=img_anno_paths,
+        layer=layer,
+        patch_size=patch_size,
+        region_intersection=intersection,
+        region_area_influence=0,  # equal weights for all regions
+        patches_from_one_region=1,  # only one patch per region
+        seed=seed,
+    )
+
+    batch_size = 4
+    out_folder = Path(out_folder)
+    for cls_idx, cls in enumerate(sampler.classes):
+        (out_folder / str(cls_idx)).mkdir(parents=True, exist_ok=True)
+        n = patches_per_class // batch_size
+        g = sampler.structs_generator(
+            batch_size=batch_size, n_batches=n, cls_idx=cls_idx
+        )
+        count = 0
+        for batch in g:
+            for patch, _ in batch:
+                Image.fromarray(patch.data).save(
+                    out_folder / str(cls_idx) / f"{count}.jpg"
+                )
+                count += 1
+    return out_folder

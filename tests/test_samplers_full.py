@@ -1,0 +1,131 @@
+"""Tests for the whole-slide samplers (coverage-random + dense tiling)."""
+
+import numpy as np
+import pytest
+
+from deephisto_tpu.samplers import (
+    FullImageDenseSampler,
+    FullImageRndSampler,
+    SamplerExecutionMode,
+)
+from deephisto_tpu.slide import ArraySlide
+
+H, W, PS, BS = 512, 640, 64, 16
+
+
+@pytest.fixture(scope="module")
+def slide():
+    rng = np.random.default_rng(0)
+    return ArraySlide(
+        rng.integers(0, 255, size=(2 * H, 2 * W, 3), dtype=np.uint8), max_layer=4
+    )
+
+
+def test_dense_coords_cover_grid_and_edges(slide):
+    s = FullImageDenseSampler(
+        slide, layer=2, patch_size=PS, batch_size=BS, stride=PS // 2
+    )
+    batched = s._create_batched_coords()
+    coords = {tuple(c) for b in batched for c in b}
+    # grid coords present
+    assert (0, 0) in coords
+    assert (PS // 2, PS // 2) in coords
+    # last row/col/corner present (reference full_samplers.py:385-397)
+    assert (H - PS, W - PS) in coords
+    assert any(c[1] == W - PS for c in coords)
+    assert any(c[0] == H - PS for c in coords)
+    # all batches exactly batch_size (last padded, :400-402)
+    assert all(len(b) == BS for b in batched)
+
+
+def test_dense_generator_patches_match_layer(slide):
+    s = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS)
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+    n = 0
+    last_progress = -1
+    for patches, progress in s.generator():
+        assert progress > last_progress or progress == 0
+        last_progress = progress
+        for p in patches:
+            np.testing.assert_array_equal(
+                p.data, layer2[p.pos_y : p.pos_y + PS, p.pos_x : p.pos_x + PS]
+            )
+        n += len(patches)
+        if n > 4 * BS:
+            break
+
+
+def test_dense_generator_torch_normalized(slide):
+    s = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS)
+    f, c, progress = next(iter(s.generator_torch()))
+    assert f.shape == (BS, PS, PS, 3)
+    assert float(f.max()) <= 1.0  # /255 applied (quirk §2b.8 fixed)
+    assert c.shape == (BS, 2)
+
+
+def test_rnd_sampler_terminates_with_full_coverage(slide):
+    s = FullImageRndSampler(
+        slide,
+        layer=2,
+        patch_size=PS,
+        batch_size=BS,
+        mode=SamplerExecutionMode.INMEMORY_SINGLEPROC,
+        speedup=16,
+    ).seed(3)
+    total = 0
+    last = 0.0
+    for patches, filled in s.generator():
+        assert len(patches) == BS
+        assert filled >= last - 1e-9  # monotone coverage
+        last = filled
+        total += len(patches)
+    assert last >= 1.0
+    # coverage accumulator retained for heatmap
+    assert s._accum is not None and (s._accum > 0).all()
+    assert len(s._filled_ratio) > 0
+
+
+def test_rnd_sampler_patches_in_bounds_and_match_data(slide):
+    s = FullImageRndSampler(slide, layer=2, patch_size=PS, batch_size=BS).seed(0)
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+    for patches, filled in s.generator():
+        for p in patches:
+            assert 0 <= p.pos_y <= H - PS and 0 <= p.pos_x <= W - PS
+            np.testing.assert_array_equal(
+                p.data, layer2[p.pos_y : p.pos_y + PS, p.pos_x : p.pos_x + PS]
+            )
+        break
+
+
+def test_rnd_sampler_visualizations(slide, tmp_path):
+    s = FullImageRndSampler(slide, layer=2, patch_size=PS, batch_size=64).seed(1)
+    for _ in s.generator():
+        pass
+    heat = tmp_path / "heat.png"
+    s.visualize_heatmap(str(heat))
+    assert heat.exists() and (tmp_path / "_heat.png").exists()
+    hist = tmp_path / "hist.jpg"
+    s.plot_empty_area_history(str(hist))
+    assert hist.exists()
+
+
+def test_rnd_generator_torch(slide):
+    s = FullImageRndSampler(slide, layer=2, patch_size=PS, batch_size=BS).seed(2)
+    f, c, filled = next(iter(s.generator_torch()))
+    assert f.shape == (BS, PS, PS, 3)
+    assert float(f.max()) <= 1.0  # /255 applied in the rnd sampler too
+    assert 0 < filled <= 1.0
+
+
+def test_rnd_coverage_guidance_prefers_empty_cells(slide):
+    """After many batches, coverage should spread: the accumulator's nonzero
+    fraction must grow strictly over the first several iterations."""
+    s = FullImageRndSampler(
+        slide, layer=2, patch_size=PS, batch_size=BS, speedup=16
+    ).seed(5)
+    ratios = []
+    for _, filled in s.generator():
+        ratios.append(filled)
+        if len(ratios) >= 6:
+            break
+    assert all(b > a for a, b in zip(ratios, ratios[1:]))
