@@ -1,0 +1,81 @@
+"""Benchmark: end-to-end full-WSI predict throughput (the BASELINE.json
+north-star metric: 224² sample+infer patches/sec/chip).
+
+Runs the fused single-program pipeline (gather → /255 → bf16 ResNet-18 →
+logit scatter-add) over a synthetic 8192² slide layer resident in HBM, and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "patches/s", "vs_baseline": N/10000}
+
+vs_baseline is measured against the driver-set target of 10,000 patches/s/chip
+(/root/repo/BASELINE.json; the reference publishes no numbers — BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.predict.pipeline import dense_coords, predict_full_fused
+
+    H = W = 8192
+    PS, STRIDE, BATCH = 224, 112, 256
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # stage the slide to HBM once — the production samplers hold slides
+    # device-resident (SlideBank), so steady-state predict never re-uploads
+    image = jnp.asarray(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
+
+    model = get_model(5, depth=18)
+    variables = init_model(model, pretrained=False)
+
+    n_patches = len(dense_coords(H, W, PS, STRIDE))
+
+    # compile + warm up
+    argmax_map, score_map = predict_full_fused(
+        image, model, variables, n_classes=5, patch_size=PS, stride=STRIDE,
+        batch_size=BATCH,
+    )
+    float(score_map.sum())
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        argmax_map, score_map = predict_full_fused(
+            image, model, variables, n_classes=5, patch_size=PS, stride=STRIDE,
+            batch_size=BATCH,
+        )
+        # force real completion: block_until_ready is unreliable on tunneled
+        # platforms, so fetch a scalar
+        float(score_map.sum())
+    dt = (time.perf_counter() - t0) / reps
+
+    value = n_patches / dt
+    print(
+        json.dumps(
+            {
+                "metric": "patches/sec/chip (224^2 sample+infer, full-WSI dense predict)",
+                "value": round(value, 1),
+                "unit": "patches/s",
+                "vs_baseline": round(value / 10000.0, 3),
+                "detail": {
+                    "slide": f"{H}x{W} uint8 in HBM",
+                    "patches": n_patches,
+                    "wall_clock_s": round(dt, 4),
+                    "model": "ResNet-18 bf16",
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -309,10 +309,16 @@ def train(cfg, resume: bool = False, mesh=None):
 
 
 def main(argv=None):
+    # prefer a cwd-level config (the reference loads
+    # ./models/patch_cls_simple/config.yaml relative to the repo root,
+    # train.py:310); fall back to the packaged default
+    cwd_config = Path("./models/patch_cls_simple/config.yaml")
+    default_config = cwd_config if cwd_config.is_file() else CONFIG_PATH
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--extract_test", action="store_true", default=False)
     parser.add_argument("--resume", action="store_true", default=False)
-    parser.add_argument("--config", type=Path, default=CONFIG_PATH)
+    parser.add_argument("--config", type=Path, default=default_config)
     args = parser.parse_args(argv)
 
     cfg = utils.load_config(args.config)

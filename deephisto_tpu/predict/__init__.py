@@ -1,0 +1,20 @@
+"""Full-WSI inference (L4)."""
+
+from .full_patched import (
+    ImagePredictorPatched,
+    batch_predictor,
+    load_model,
+    perform_and_save_visualizations,
+    process_on_device,
+)
+from .pipeline import dense_coords, predict_full_fused
+
+__all__ = [
+    "ImagePredictorPatched",
+    "batch_predictor",
+    "dense_coords",
+    "load_model",
+    "perform_and_save_visualizations",
+    "predict_full_fused",
+    "process_on_device",
+]

@@ -1,0 +1,110 @@
+"""Fused full-WSI inference: the entire sliding-window predict as ONE XLA
+program.
+
+``predict_full_fused`` lowers the whole pipeline — patch gather from the
+HBM-resident slide, /255 normalization, bf16 model forward, logit scatter-add
+into the downscaled class map — into a single ``lax.scan`` over coordinate
+batches. Nothing touches the host between the first and last patch, so patch
+extraction can never stall the MXU (the north-star structure,
+/root/repo/BASELINE.json). This is the performance path behind ``bench.py``;
+the generator-based APIs in full_patched.py remain for reference parity and
+incremental/streaming use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gather import gather_patches_xla
+from ..ops.stitch import scatter_add_map
+
+
+def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
+    """The dense tiling coord list (grid + last col/row + corner — same cover
+    rule as FullImageDenseSampler / reference full_samplers.py:374-397)."""
+    ps = patch_size
+    coords = [(y, x) for y in range(0, h - ps, stride) for x in range(0, w - ps, stride)]
+    coords += [(y, w - ps) for y in range(0, h - ps, stride)]
+    coords += [(h - ps, x) for x in range(0, w - ps, stride)]
+    coords.append((h - ps, w - ps))
+    return np.asarray(coords, dtype=np.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "patch_size", "downscale", "n_classes", "softmax"),
+)
+def _predict_scan(
+    image: jnp.ndarray,
+    coords_batched: jnp.ndarray,  # (B, bs, 2) int32
+    variables: dict,
+    model,
+    patch_size: int,
+    downscale: int,
+    n_classes: int,
+    softmax: bool,
+):
+    d = downscale
+    dh = image.shape[0] // d
+    dw = image.shape[1] // d
+    f = max(1, patch_size // d)
+
+    def step(pred_map, coords):
+        patches = gather_patches_xla(image, coords, patch_size)
+        x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        logits = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x,
+            train=False,
+        )
+        if softmax:
+            logits = jax.nn.softmax(logits, axis=-1)
+        pred_map = scatter_add_map(pred_map, coords // d, logits, f)
+        return pred_map, None
+
+    init = jnp.zeros((dh, dw, n_classes), jnp.float32)
+    pred_map, _ = jax.lax.scan(step, init, coords_batched)
+    return jnp.argmax(pred_map, axis=-1), pred_map
+
+
+def predict_full_fused(
+    image,
+    model,
+    variables: dict,
+    n_classes: int,
+    patch_size: int = 224,
+    stride: int = 112,
+    batch_size: int = 256,
+    downscale: int = 16,
+    softmax: bool = False,
+):
+    """Dense full-WSI prediction in one device program.
+
+    image: (H, W, 3) uint8 (device or host); returns (argmax_map, score_map).
+    The coord list is padded to full batches by repeating the last coord
+    (harmless duplicate adds, same trick as the dense sampler's last batch).
+    """
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    coords = dense_coords(h, w, patch_size, stride)
+    n = len(coords)
+    n_b = -(-n // batch_size)
+    pad = n_b * batch_size - n
+    if pad:
+        coords = np.concatenate([coords, np.repeat(coords[-1:], pad, axis=0)])
+    coords_batched = jnp.asarray(coords.reshape(n_b, batch_size, 2))
+    argmax_map, score_map = _predict_scan(
+        image,
+        coords_batched,
+        variables,
+        model,
+        patch_size,
+        downscale,
+        n_classes,
+        softmax,
+    )
+    return np.asarray(argmax_map), score_map

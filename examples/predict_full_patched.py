@@ -1,0 +1,94 @@
+"""Make a full prediction on a WSI image using a saved model (mirror of
+reference examples/predict_full_patched.py:129-183, same canonical class
+colors and outputs). Uses the device-resident pipeline when possible; falls
+back to an untrained model with a warning when no checkpoint exists so the
+pipeline is still demonstrable end-to-end.
+"""
+
+import argparse
+from pathlib import Path
+
+from deephisto_tpu.anno import AnnoDescription
+from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+from deephisto_tpu.predict import (
+    ImagePredictorPatched,
+    batch_predictor,
+    load_model,
+    perform_and_save_visualizations,
+    process_on_device,
+)
+from deephisto_tpu.samplers import (
+    FullImageDenseSampler,
+    FullImageRndSampler,
+    SamplerExecutionMode,
+)
+from examples._dataset import example_dataset
+from utils import get_img_ano_paths
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", type=Path, default=Path("./output/best_model.msgpack"))
+    parser.add_argument("--dense", action="store_true", help="dense sampler instead of random")
+    parser.add_argument(
+        "--host_loop",
+        action="store_true",
+        help="use the reference-style host loop (generic sampler + batch_predictor)",
+    )
+    args = parser.parse_args()
+
+    img_path = get_img_ano_paths(example_dataset(), sample="test")[0][0]
+
+    # --- setup all params (canonical 5-class colors, reference :140-149) ---
+    anno_dsc = AnnoDescription.with_known_colors(
+        {
+            "AT": (245, 119, 34),  # AT (orange)
+            "BG": (153, 255, 255),  # BG (cyan)
+            "LP": (64, 170, 72),  # LP (green)
+            "MM": (255, 0, 0),  # MM (red)
+            "TUM": (33, 67, 156),  # TUM (blue)
+        }
+    )
+    layer = 2
+    downscale_vis = 16
+    random_sampler = not args.dense
+
+    # --- load model ---
+    if args.weights.exists():
+        model, variables = load_model(args.weights, n_classes=5)
+    else:
+        print(f"warning: {args.weights} not found; using an untrained model")
+        model = get_model(5)
+        variables = init_model(model, pretrained=False)
+
+    # --- make WSI prediction ---
+    if random_sampler:
+        patch_sampler = FullImageRndSampler(
+            img_path,
+            layer=layer,
+            patch_size=224,
+            batch_size=64,
+            mode=SamplerExecutionMode.INMEMORY_SINGLEPROC,
+        )
+    else:
+        patch_sampler = FullImageDenseSampler(
+            img_path, layer=layer, patch_size=224, batch_size=64, stride=112
+        )
+
+    if args.host_loop:
+        predictor = ImagePredictorPatched(
+            img_path,
+            patch_sampler=patch_sampler.generator(),
+            batch_predictor=lambda patches: batch_predictor(patches, model, variables),
+            anno=anno_dsc,
+            layer=layer,
+            downscale=downscale_vis,
+        )
+        pred = predictor.process()
+    else:
+        pred = process_on_device(
+            patch_sampler, model, variables, n_classes=5, downscale=downscale_vis
+        )
+
+    # --- save visualizations ---
+    perform_and_save_visualizations(img_path, anno_dsc, pred, out_dir=Path("./output/"))
+    print("saved mask / original / overlay under ./output/")

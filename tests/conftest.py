@@ -6,13 +6,26 @@ Must set env vars before the first ``import jax`` anywhere in the test run.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The axon TPU sitecustomize imports jax at interpreter startup, which locks
+# import-time flag parsing before this conftest can set the virtual-device
+# env. Re-exec once with the corrected environment (empty PALLAS_AXON_POOL_IPS
+# disables the axon hook) so the whole test session runs on 8 CPU devices.
+if os.environ.get("_DEEPHISTO_TEST_REEXEC") != "1":
+    os.environ["_DEEPHISTO_TEST_REEXEC"] = "1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        os.environ,
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
