@@ -8,11 +8,19 @@ Must set env vars before the first ``import jax`` anywhere in the test run.
 import os
 import sys
 
-# The axon TPU sitecustomize imports jax at interpreter startup, which locks
-# import-time flag parsing before this conftest can set the virtual-device
-# env. Re-exec once with the corrected environment (empty PALLAS_AXON_POOL_IPS
-# disables the axon hook) so the whole test session runs on 8 CPU devices.
-if os.environ.get("_DEEPHISTO_TEST_REEXEC") != "1":
+import numpy as np
+import pytest
+
+
+def pytest_configure(config):
+    # The axon TPU sitecustomize imports-and-initializes jax at interpreter
+    # startup, locking the platform before any conftest code can set the
+    # virtual-device env. Re-exec once with the corrected environment (empty
+    # PALLAS_AXON_POOL_IPS disables the hook) so the session runs on 8 CPU
+    # devices. Capture must be suspended first or the new process inherits
+    # pytest's temp-file fd redirection and all output vanishes.
+    if os.environ.get("_DEEPHISTO_TEST_REEXEC") == "1":
+        return
     os.environ["_DEEPHISTO_TEST_REEXEC"] = "1"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
@@ -21,14 +29,18 @@ if os.environ.get("_DEEPHISTO_TEST_REEXEC") != "1":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+        capman.stop_global_capturing()
+    sys.stdout.flush()
+    sys.stderr.flush()
     os.execve(
         sys.executable,
         [sys.executable, "-m", "pytest", *sys.argv[1:]],
         os.environ,
     )
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,134 @@
+"""Tests for full-WSI prediction: stitching parity between the host-loop
+(reference-style) path, the device path, and the fused single-program path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deephisto_tpu.anno import AnnoDescription
+from deephisto_tpu.predict import (
+    ImagePredictorPatched,
+    batch_predictor,
+    dense_coords,
+    perform_and_save_visualizations,
+    predict_full_fused,
+    process_on_device,
+)
+from deephisto_tpu.samplers import FullImageDenseSampler
+from deephisto_tpu.slide import DEFAULT_COLORS, ArraySlide
+
+H, W, PS, BS, D = 512, 512, 64, 16, 16
+
+
+@pytest.fixture(scope="module")
+def slide():
+    rng = np.random.default_rng(3)
+    return ArraySlide(rng.integers(0, 255, (2 * H, 2 * W, 3), dtype=np.uint8), max_layer=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), (2, 2))(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(5)(x)
+
+    model = Tiny()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    variables = {"params": variables["params"], "batch_stats": {}}
+    return model, variables
+
+
+def test_dense_coords_cover_everything():
+    c = dense_coords(H, W, PS, PS // 2)
+    assert (0, 0) in {tuple(x) for x in c}
+    assert (H - PS, W - PS) in {tuple(x) for x in c}
+
+
+def test_host_loop_vs_device_path_parity(slide, tiny_model):
+    model, variables = tiny_model
+    anno = AnnoDescription.with_known_colors(DEFAULT_COLORS)
+
+    s1 = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS)
+    pred_host = ImagePredictorPatched(
+        slide,
+        patch_sampler=s1.generator(),
+        batch_predictor=lambda p: batch_predictor(p, model, variables),
+        anno=anno,
+        layer=2,
+        downscale=D,
+    ).process(verbose=False)
+
+    s2 = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS)
+    pred_dev = process_on_device(
+        s2, model, variables, n_classes=5, downscale=D, verbose=False
+    )
+    assert pred_host.shape == pred_dev.shape == (H // D, W // D)
+    # identical coords + identical logits → identical argmax map
+    agree = (pred_host == pred_dev).mean()
+    assert agree > 0.999, agree
+
+
+def test_fused_pipeline_matches_device_path(slide, tiny_model):
+    model, variables = tiny_model
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+
+    s = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS)
+    pred_dev = process_on_device(
+        s, model, variables, n_classes=5, downscale=D, verbose=False
+    )
+    pred_fused, _ = predict_full_fused(
+        layer2, model, variables, n_classes=5, patch_size=PS, stride=PS,
+        batch_size=BS, downscale=D,
+    )
+    # fused path pads the last batch with duplicate coords (double-add on the
+    # final tile) — same as the dense sampler's own padding; maps must agree
+    agree = (pred_dev == pred_fused).mean()
+    assert agree > 0.995, agree
+
+
+def test_count_normalization_option(slide, tiny_model):
+    model, variables = tiny_model
+    s = FullImageDenseSampler(slide, layer=2, patch_size=PS, batch_size=BS, stride=PS // 2)
+    pred = process_on_device(
+        s, model, variables, n_classes=5, downscale=D, normalize_counts=True,
+        verbose=False,
+    )
+    assert pred.shape == (H // D, W // D)
+
+
+def test_visualizations(slide, tmp_path):
+    anno = AnnoDescription.with_known_colors(DEFAULT_COLORS)
+    pred = np.random.default_rng(0).integers(0, 5, (H // D, W // D))
+    paths = perform_and_save_visualizations(slide, anno, pred, out_dir=tmp_path)
+    for k in ("mask", "original", "overlay"):
+        assert paths[k].exists()
+    from PIL import Image
+
+    m = np.asarray(Image.open(paths["mask"]))
+    assert m.shape == (H // D, W // D, 3)
+
+
+def test_single_patch_predict(tmp_path, tiny_model):
+    """The repaired predict.py path: save best model, classify one image."""
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.models.patch_cls_simple.predict import predict
+    from deephisto_tpu.train import save_model
+    from PIL import Image
+
+    model = get_model(5, depth=18)
+    variables = init_model(model, seed=0, input_size=PS, pretrained=False)
+    w = save_model(tmp_path / "best.msgpack", variables["params"], variables["batch_stats"])
+    img = tmp_path / "patch.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (PS, PS, 3), dtype=np.uint8)
+    ).save(img)
+    cfg = {"model": {"n_classes": 5, "depth": 18}, "dataset": {"patch_size": PS}}
+    cls = predict(img, w, cfg)
+    assert 0 <= cls < 5
