@@ -77,6 +77,78 @@ def prepare_test_patches(cfg):
     )
 
 
+def make_fused_epoch(model, sampler, batch_size, n_steps, mesh=None, augment=True):
+    """The TPU-native training epoch: sampling + augmentation + forward/
+    backward + update for ``n_steps`` steps fused into ONE device program
+    (``lax.scan``), so the host (and any dispatch-latency tunnel) is touched
+    once per epoch instead of once per batch. Returns
+    ``epoch_fn(state, key) -> (state, losses, corrects)``.
+    """
+    sample_fn = sampler.make_sample_fn(batch_size)
+    data_sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def body(state, k):
+        k_sample, k_aug = jax.random.split(k)
+        patches, labels, _, _ = sample_fn(k_sample)
+        x = patches.astype(jnp.float32) / 255.0
+        if augment:
+            kh, kv = jax.random.split(k_aug)
+            x = jnp.where(jax.random.bernoulli(kh), x[:, :, ::-1, :], x)
+            x = jnp.where(jax.random.bernoulli(kv), x[:, ::-1, :, :], x)
+        if data_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, data_sharding)
+            labels = jax.lax.with_sharding_constraint(labels, data_sharding)
+
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return cross_entropy_loss(logits, labels), (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=updates["batch_stats"])
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return state, (loss, correct)
+
+    def epoch(state, key):
+        keys = jax.random.split(key, n_steps)
+        state, (losses, corrects) = jax.lax.scan(body, state, keys)
+        return state, losses, corrects
+
+    return jax.jit(epoch, donate_argnums=(0,))
+
+
+def make_fused_eval(model, sampler, batch_size, n_steps):
+    """Fused validation pass: ``eval_fn(state, key) -> (losses, corrects)``."""
+    sample_fn = sampler.make_sample_fn(batch_size)
+
+    def body(variables, k):
+        patches, labels, _coords, _img = sample_fn(k)
+        x = patches.astype(jnp.float32) / 255.0
+        logits = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x,
+            train=False,
+        )
+        loss = cross_entropy_loss(logits, labels)
+        correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return variables, (loss, correct)
+
+    def evaluate(state, key):
+        keys = jax.random.split(key, n_steps)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, (losses, corrects) = jax.lax.scan(body, variables, keys)
+        return losses, corrects
+
+    return jax.jit(evaluate)
+
+
 def make_steps(model, mesh=None):
     """Build the jitted train/eval steps. With a mesh, batches are sharded on
     the data axis and the state is replicated; XLA inserts the grad all-reduce
@@ -187,7 +259,7 @@ def train(cfg, resume: bool = False, mesh=None):
         scheduler.lr = extra.get("lr", scheduler.lr)
         print(f"Resumed from epoch {start_epoch} (best val acc {best_val_acc:.4f})")
 
-    train_step, eval_step = make_steps(model, mesh)
+    _, eval_step = make_steps(model, mesh)
 
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
@@ -197,27 +269,28 @@ def train(cfg, resume: bool = False, mesh=None):
         "train_steps",
         len(train_val_dataset) // batch_size * cfg["training"]["augment_factor"],
     )
+    val_steps = cfg["training"]["val_steps"]
+
+    # the fused TPU-native epoch: sampling + augment + fwd/bwd + update for the
+    # whole epoch in one device program — the host is touched once per epoch
+    fused_epoch = make_fused_epoch(
+        model, train_val_dataset, batch_size, train_steps, mesh=mesh
+    )
+    fused_eval = make_fused_eval(model, train_val_dataset, batch_size, val_steps)
+
+    epoch_key = jax.random.key(cfg["training"].get("seed", 0))
 
     train_losses, val_losses, test_losses = [], [], []
     train_accuracies, val_accuracies, test_accuracies = [], [], []
 
     for epoch in range(start_epoch, cfg["training"]["n_epochs"]):
-        # ---- train ----
+        # ---- train (one fused device call) ----
         t0 = time.time()
-        train_loss, correct, total = 0.0, 0, 0
-        gen = train_val_dataset.jax_generator(
-            batch_size, train_steps, augment=True
-        )
-        for images, labels, _ in gen:
-            if mesh is not None:
-                images = shard_batch(images, mesh)
-                labels = shard_batch(labels, mesh)
-            state, loss, corr = train_step(state, images, labels)
-            train_loss += float(loss)
-            correct += int(corr)
-            total += batch_size
-        train_loss /= train_steps
-        train_acc = correct / total
+        epoch_key, k_train, k_val = jax.random.split(epoch_key, 3)
+        state, losses, corrects = fused_epoch(state, k_train)
+        train_loss = float(jnp.mean(losses))
+        total = train_steps * batch_size
+        train_acc = int(jnp.sum(corrects)) / total
         train_losses.append(train_loss)
         train_accuracies.append(train_acc)
         dt = time.time() - t0
@@ -227,21 +300,10 @@ def train(cfg, resume: bool = False, mesh=None):
         )
         print(f"Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.4f}")
 
-        # ---- val ----
-        val_steps = cfg["training"]["val_steps"]
-        val_loss, correct, total = 0.0, 0, 0
-        for images, labels, _ in train_val_dataset.jax_generator(
-            batch_size, val_steps, augment=False
-        ):
-            if mesh is not None:
-                images = shard_batch(images, mesh)
-                labels = shard_batch(labels, mesh)
-            loss, corr, _ = eval_step(state, images, labels)
-            val_loss += float(loss)
-            correct += int(corr)
-            total += batch_size
-        val_loss /= val_steps
-        val_acc = correct / total
+        # ---- val (one fused device call) ----
+        v_losses, v_corrects = fused_eval(state, k_val)
+        val_loss = float(jnp.mean(v_losses))
+        val_acc = int(jnp.sum(v_corrects)) / (val_steps * batch_size)
         val_losses.append(val_loss)
         val_accuracies.append(val_acc)
         print(f"Val Loss: {val_loss:.4f}, Val Acc: {val_acc:.4f}")

@@ -302,88 +302,109 @@ class AnnoRegionRndSampler:
 
     # -- the jitted sampling step -------------------------------------------
 
+    def make_sample_fn(self, n: int, forced_cls: int | None = None):
+        """A pure function ``key -> (patches_u8, labels, coords, img_idx)``
+        closing over the region table, weight matrices, and the slide bank as
+        jit constants — embeddable inside larger jitted programs (the fused
+        training epoch, fused random predict)."""
+        t = self.table
+
+        def fn(key):
+            return self._step_impl(
+                key, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
+                t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+                self._logw_img_cls_region, self._cls_available,
+                self._img_cls_available, self._logw_img_all, self.bank.images,
+                n=n, forced_cls=forced_cls,
+            )
+
+        return fn
+
     def _get_step(self, n: int, forced_cls: int | None):
         sig = (n, forced_cls)
         fn = self._jitted.get(sig)
         if fn is not None:
             return fn
+        import functools
 
+        fn = jax.jit(
+            functools.partial(self._step_impl, n=n, forced_cls=forced_cls)
+        )
+        self._jitted[sig] = fn
+        return fn
+
+    def _step_impl(self, key, verts, area, class_idx, image_idx, lo, hi,
+                   anchors, n_anchors, logw_cls_region, logw_img_cls_region,
+                   cls_available, img_cls_available, logw_img_all, images,
+                   *, n: int, forced_cls: int | None):
         k = self.patches_from_one_region
         G = -(-n // k)
         T = self.n_trials
         ps = self.patch_size
         ri = self.region_intersection
         one_image = self.one_image_for_batch
-        tbl = self.table
-        max_v = tbl.max_v
+        max_v = self.table.max_v
 
-        def step(key, verts, area, class_idx, image_idx, lo, hi, anchors,
-                 n_anchors, logw_cls_region, logw_img_cls_region,
-                 cls_available, img_cls_available, logw_img_all, images):
-            k_img, k_cls, k_reg, k_trial, k_anchor = jax.random.split(key, 5)
+        k_img, k_cls, k_reg, k_trial, k_anchor = jax.random.split(key, 5)
 
-            if one_image:
-                img = jax.random.categorical(k_img, logw_img_all)
-                cls_logits = img_cls_available[img]  # (C,)
-                logw_region = logw_img_cls_region[img]  # (C, R)
-            else:
-                cls_logits = cls_available
-                logw_region = logw_cls_region
+        if one_image:
+            img = jax.random.categorical(k_img, logw_img_all)
+            cls_logits = img_cls_available[img]  # (C,)
+            logw_region = logw_img_cls_region[img]  # (C, R)
+        else:
+            cls_logits = cls_available
+            logw_region = logw_cls_region
 
-            if forced_cls is None:
-                cls = jax.random.categorical(k_cls, cls_logits, shape=(G,))
-            else:
-                cls = jnp.full((G,), forced_cls, dtype=jnp.int32)
+        if forced_cls is None:
+            cls = jax.random.categorical(k_cls, cls_logits, shape=(G,))
+        else:
+            cls = jnp.full((G,), forced_cls, dtype=jnp.int32)
 
-            region = jax.random.categorical(k_reg, logw_region[cls], axis=-1)  # (G,)
+        region = jax.random.categorical(k_reg, logw_region[cls], axis=-1)  # (G,)
 
-            # rejection trials: (G, k, T) candidate corners inside region bbox
-            rlo = lo[region].astype(jnp.float32)  # (G, 2)
-            rhi = hi[region].astype(jnp.float32)
-            u = jax.random.uniform(k_trial, (G, k, T, 2))
-            yx = jnp.floor(rlo[:, None, None, :] + u * (rhi - rlo)[:, None, None, :])
-            yx = yx.astype(jnp.int32)
+        # rejection trials: (G, k, T) candidate corners inside region bbox
+        rlo = lo[region].astype(jnp.float32)  # (G, 2)
+        rhi = hi[region].astype(jnp.float32)
+        u = jax.random.uniform(k_trial, (G, k, T, 2))
+        yx = jnp.floor(rlo[:, None, None, :] + u * (rhi - rlo)[:, None, None, :])
+        yx = yx.astype(jnp.int32)
 
-            boxes = jnp.stack(
-                [
-                    yx[..., 1].astype(jnp.float32),
-                    yx[..., 0].astype(jnp.float32),
-                    yx[..., 1].astype(jnp.float32) + ps,
-                    yx[..., 0].astype(jnp.float32) + ps,
-                ],
-                axis=-1,
-            )  # (G, k, T, 4)
-            trial_verts = jnp.broadcast_to(
-                verts[region][:, None, None], (G, k, T, max_v, 2)
-            ).reshape(G * k * T, max_v, 2)
-            areas = clip_area_batch(trial_verts, boxes.reshape(G * k * T, 4))
-            accept = (areas > ps * ps * ri).reshape(G, k, T)
+        boxes = jnp.stack(
+            [
+                yx[..., 1].astype(jnp.float32),
+                yx[..., 0].astype(jnp.float32),
+                yx[..., 1].astype(jnp.float32) + ps,
+                yx[..., 0].astype(jnp.float32) + ps,
+            ],
+            axis=-1,
+        )  # (G, k, T, 4)
+        trial_verts = jnp.broadcast_to(
+            verts[region][:, None, None], (G, k, T, max_v, 2)
+        ).reshape(G * k * T, max_v, 2)
+        areas = clip_area_batch(trial_verts, boxes.reshape(G * k * T, 4))
+        accept = (areas > ps * ps * ri).reshape(G, k, T)
 
-            first = jnp.argmax(accept, axis=-1)  # (G, k) first accepted trial
-            got = jnp.any(accept, axis=-1)  # (G, k)
-            take = jnp.take_along_axis(
-                yx, first[..., None, None], axis=2
-            )[:, :, 0, :]  # (G, k, 2)
+        first = jnp.argmax(accept, axis=-1)  # (G, k) first accepted trial
+        got = jnp.any(accept, axis=-1)  # (G, k)
+        take = jnp.take_along_axis(
+            yx, first[..., None, None], axis=2
+        )[:, :, 0, :]  # (G, k, 2)
 
-            # anchor fallback for all-miss patches
-            a_idx = jax.random.randint(k_anchor, (G, k), 0, 1_000_000) % n_anchors[
-                region
-            ][:, None]
-            anchor = jnp.take_along_axis(
-                anchors[region], a_idx[..., None], axis=1
-            )  # (G, k, 2)
+        # anchor fallback for all-miss patches
+        a_idx = jax.random.randint(k_anchor, (G, k), 0, 1_000_000) % n_anchors[
+            region
+        ][:, None]
+        anchor = jnp.take_along_axis(
+            anchors[region], a_idx[..., None], axis=1
+        )  # (G, k, 2)
 
-            coords = jnp.where(got[..., None], take, anchor)  # (G, k, 2)
+        coords = jnp.where(got[..., None], take, anchor)  # (G, k, 2)
 
-            labels = jnp.broadcast_to(cls[:, None], (G, k)).reshape(-1)[:n]
-            img_idx = jnp.broadcast_to(image_idx[region][:, None], (G, k)).reshape(-1)[:n]
-            coords = coords.reshape(-1, 2)[:n]
-            patches = gather_patches_multi_xla(images, img_idx, coords, ps)
-            return patches, labels.astype(jnp.int32), coords, img_idx
-
-        fn = jax.jit(step)
-        self._jitted[sig] = fn
-        return fn
+        labels = jnp.broadcast_to(cls[:, None], (G, k)).reshape(-1)[:n]
+        img_idx = jnp.broadcast_to(image_idx[region][:, None], (G, k)).reshape(-1)[:n]
+        coords = coords.reshape(-1, 2)[:n]
+        patches = gather_patches_multi_xla(images, img_idx, coords, ps)
+        return patches, labels.astype(jnp.int32), coords, img_idx
 
     def _sample_batch(self, n: int, forced_cls: int | None = None):
         """One device batch: (patches_u8, labels, coords, image_idx)."""

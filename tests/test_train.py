@@ -24,13 +24,13 @@ def tiny_cfg(tmp_path_factory):
             "val_steps": 2,
             "data_max_workers": 2,
             "one_image_for_batch": False,
-            "train_steps": 3,
+            "train_steps": 2,
         },
-        "test": {"dir": str(root / "test"), "samples_per_class": 8},
+        "test": {"dir": str(root / "test"), "samples_per_class": 4},
         "dataset": {
             "folder": str(ds),
             "layer": 2,
-            "patch_size": 64,
+            "patch_size": 32,
             "batches_per_worker": 2,
             "patches_from_one_region": 4,
         },
