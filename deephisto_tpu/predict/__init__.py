@@ -7,7 +7,7 @@ from .full_patched import (
     perform_and_save_visualizations,
     process_on_device,
 )
-from .pipeline import dense_coords, predict_full_fused
+from .pipeline import dense_coords, predict_full_fused, predict_full_random_fused
 
 __all__ = [
     "ImagePredictorPatched",
@@ -16,5 +16,6 @@ __all__ = [
     "load_model",
     "perform_and_save_visualizations",
     "predict_full_fused",
+    "predict_full_random_fused",
     "process_on_device",
 ]

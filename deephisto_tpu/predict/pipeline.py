@@ -71,6 +71,116 @@ def _predict_scan(
     return jnp.argmax(pred_map, axis=-1), pred_map
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "patch_size", "batch_size", "downscale", "speedup",
+        "dense_level", "n_classes", "max_steps",
+    ),
+)
+def _predict_random_while(
+    key,
+    image: jnp.ndarray,
+    variables: dict,
+    model,
+    patch_size: int,
+    batch_size: int,
+    downscale: int,
+    speedup: int,
+    dense_level: int,
+    n_classes: int,
+    max_steps: int,
+):
+    h = image.shape[0]
+    w = image.shape[1]
+    dh, dw = h // speedup, w // speedup
+    mh, mw = h // downscale, w // downscale
+    ps = patch_size
+    f_cov = max(1, ps // speedup)
+    f_map = max(1, ps // downscale)
+    pd2 = ps // speedup // 2
+
+    def cond(carry):
+        _key, _accum, _pred, filled, step = carry
+        return jnp.logical_and(filled < 1.0, step < max_steps)
+
+    def body(carry):
+        key, accum, pred, _filled, step = carry
+        key, k_cells, k_jit = jax.random.split(key, 3)
+
+        p = jnp.where(accum >= dense_level, 0.0, 1.0)
+        logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
+        g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
+        _, cells = jax.lax.top_k(logp + g, batch_size)
+        cy, cx = cells // dw, cells % dw
+        jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, speedup)
+        y = jnp.clip((cy - pd2) * speedup + jit_yx[0], 0, h - ps)
+        x = jnp.clip((cx - pd2) * speedup + jit_yx[1], 0, w - ps)
+        coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
+
+        patches = gather_patches_xla(image, coords, ps)
+        xin = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        logits = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            xin,
+            train=False,
+        )
+        pred = scatter_add_map(pred, coords // downscale, logits, f_map)
+
+        accum3 = scatter_add_map(
+            accum[..., None], coords // speedup,
+            jnp.ones((batch_size,), jnp.float32), f_cov,
+        )
+        accum = accum3[..., 0]
+        filled = jnp.count_nonzero(accum) / accum.size
+        return key, accum, pred, filled.astype(jnp.float32), step + 1
+
+    init = (
+        key,
+        jnp.zeros((dh, dw), jnp.float32),
+        jnp.zeros((mh, mw, n_classes), jnp.float32),
+        jnp.float32(0.0),
+        jnp.int32(0),
+    )
+    _key, accum, pred, filled, steps = jax.lax.while_loop(cond, body, init)
+    return jnp.argmax(pred, axis=-1), pred, accum, filled, steps
+
+
+def predict_full_random_fused(
+    image,
+    model,
+    variables: dict,
+    n_classes: int,
+    patch_size: int = 224,
+    batch_size: int = 256,
+    downscale: int = 16,
+    speedup: int = 16,
+    dense_level: int = 2,
+    seed: int = 0,
+    max_steps: int | None = None,
+):
+    """Coverage-guided random full-WSI prediction as ONE device program.
+
+    The reference's coverage loop (shared-memory accumulator + speculative
+    process pool, full_samplers.py:229-261) becomes a ``lax.while_loop``
+    carrying (coverage accumulator, class-score map): Gumbel-top-k cell draw →
+    jitter → gather → bf16 forward → scatter-add, terminating at full
+    coverage. Returns (argmax_map, score_map, coverage, filled, steps).
+    """
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if max_steps is None:
+        dh, dw = h // speedup, w // speedup
+        f_cov = max(1, patch_size // speedup)
+        per_step = batch_size * f_cov * f_cov
+        max_steps = int(4 * dense_level * dh * dw / max(per_step, 1)) + 64
+    argmax_map, pred, accum, filled, steps = _predict_random_while(
+        jax.random.key(seed), image, variables, model, patch_size, batch_size,
+        downscale, speedup, dense_level, n_classes, max_steps,
+    )
+    return np.asarray(argmax_map), pred, np.asarray(accum), float(filled), int(steps)
+
+
 def predict_full_fused(
     image,
     model,

@@ -132,3 +132,19 @@ def test_single_patch_predict(tmp_path, tiny_model):
     cfg = {"model": {"n_classes": 5, "depth": 18}, "dataset": {"patch_size": PS}}
     cls = predict(img, w, cfg)
     assert 0 <= cls < 5
+
+
+def test_random_fused_covers_and_classifies(slide, tiny_model):
+    from deephisto_tpu.predict import predict_full_random_fused
+
+    model, variables = tiny_model
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+    argmax_map, pred, accum, filled, steps = predict_full_random_fused(
+        layer2, model, variables, n_classes=5, patch_size=PS, batch_size=BS,
+        downscale=D, speedup=D, dense_level=1,
+    )
+    assert filled >= 1.0 and steps > 0
+    assert (accum > 0).all()  # every coverage cell touched
+    assert argmax_map.shape == (H // D, W // D)
+    # stitched scores nonzero everywhere patches landed
+    assert np.abs(pred).sum() > 0
