@@ -127,10 +127,16 @@ def clip_area_box(
 def clip_area_boxes(vertices: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     """Vectorized ``clip_area_box`` over (B, 4) boxes [x0, y0, x1, y1].
 
-    Returns (B,) float64 intersection areas. Host-side batch path used by the
-    shapely-free parity oracle and by small CPU fallbacks; the device version
-    lives in geometry/device.py.
+    Returns (B,) float64 intersection areas. Host-side batch path used by
+    dense-grid qualification and anchor precomputation; the device version
+    lives in geometry/device.py. Dispatches to the C++/OpenMP native library
+    when available (same algorithm, exact same results).
     """
+    if len(boxes) >= 64:
+        from .. import native
+
+        if native.AVAILABLE:
+            return native.clip_area_boxes_native(vertices, boxes)
     v = np.asarray(vertices, dtype=np.float64)
     boxes = np.asarray(boxes, dtype=np.float64)
     B = boxes.shape[0]

@@ -73,8 +73,16 @@ class SlideBank:
         s = np.asarray(slide_idx)
         c = np.asarray(coords)
         ps = patch_size
-        out = np.empty((len(s), ps, ps, 3), dtype=np.uint8)
-        for i in range(len(s)):
-            y, x = c[i]
-            out[i] = self.images[s[i], y : y + ps, x : x + ps]
+        from .. import native
+
+        if native.AVAILABLE:
+            out = np.empty((len(s), ps, ps, 3), dtype=np.uint8)
+            for sl in np.unique(s):
+                m = s == sl
+                out[m] = native.extract_patches_native(self.images[sl], c[m], ps)
+        else:
+            out = np.empty((len(s), ps, ps, 3), dtype=np.uint8)
+            for i in range(len(s)):
+                y, x = c[i]
+                out[i] = self.images[s[i], y : y + ps, x : x + ps]
         return jnp.asarray(out)
