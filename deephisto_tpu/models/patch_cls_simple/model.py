@@ -31,10 +31,15 @@ def _model_depth(model) -> int:
 
 
 def init_model(
-    model, seed: int = 0, input_size: int = 224, pretrained: bool = True
+    model,
+    seed: int = 0,
+    input_size: int = 224,
+    pretrained: bool = True,
+    in_channels: int = 3,
 ) -> dict:
     variables = model.init(
-        jax.random.key(seed), jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        jax.random.key(seed),
+        jnp.zeros((1, input_size, input_size, in_channels), jnp.float32),
     )
     if pretrained:
         loaded = load_torchvision_weights(dict(variables), depth=_model_depth(model))

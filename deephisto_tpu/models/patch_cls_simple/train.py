@@ -77,14 +77,20 @@ def prepare_test_patches(cfg):
     )
 
 
-def make_fused_epoch(model, sampler, batch_size, n_steps, mesh=None, augment=True):
+def make_fused_epoch(model, sample_source, batch_size, n_steps, mesh=None, augment=True):
     """The TPU-native training epoch: sampling + augmentation + forward/
     backward + update for ``n_steps`` steps fused into ONE device program
     (``lax.scan``), so the host (and any dispatch-latency tunnel) is touched
-    once per epoch instead of once per batch. Returns
+    once per epoch instead of once per batch. ``sample_source`` is either a
+    sampler (its ``make_sample_fn`` is used) or a pure sample function
+    ``key -> (patches_u8, labels, coords, img_idx)`` (e.g. the
+    multi-magnification sampler). Returns
     ``epoch_fn(state, key) -> (state, losses, corrects)``.
     """
-    sample_fn = sampler.make_sample_fn(batch_size)
+    if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
+        sample_fn = sample_source
+    else:
+        sample_fn = sample_source.make_sample_fn(batch_size)
     data_sharding = batch_sharding(mesh) if mesh is not None else None
 
     def body(state, k):
@@ -124,9 +130,12 @@ def make_fused_epoch(model, sampler, batch_size, n_steps, mesh=None, augment=Tru
     return jax.jit(epoch, donate_argnums=(0,))
 
 
-def make_fused_eval(model, sampler, batch_size, n_steps):
+def make_fused_eval(model, sample_source, batch_size, n_steps):
     """Fused validation pass: ``eval_fn(state, key) -> (losses, corrects)``."""
-    sample_fn = sampler.make_sample_fn(batch_size)
+    if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
+        sample_fn = sample_source
+    else:
+        sample_fn = sample_source.make_sample_fn(batch_size)
 
     def body(variables, k):
         patches, labels, _coords, _img = sample_fn(k)
@@ -241,9 +250,32 @@ def train(cfg, resume: bool = False, mesh=None):
         print(f"test dir {test_dir} missing — run with --extract_test first; "
               "skipping test evaluation.")
 
+    # multi-magnification configuration (BASELINE large config): patches from
+    # several pyramid layers stacked on the channel axis
+    mm_layers = cfg["dataset"].get("multi_mag_layers")
+    sample_source = train_val_dataset
+    in_channels = 3
+    if mm_layers:
+        from ...samplers.multimag import MultiMagBank, make_multimag_sample_fn
+
+        mm_bank = MultiMagBank([p for p, _ in img_anno_paths_train], tuple(mm_layers))
+        sample_source = make_multimag_sample_fn(
+            train_val_dataset, mm_bank, cfg["training"]["batch_size"]
+        )
+        in_channels = 3 * len(mm_layers)
+        if test_data is not None:
+            print("note: test-set evaluation is single-magnification only; "
+                  "skipping it for the multi-mag configuration.")
+            test_data = None
+
     # model + state
     model = get_model(n_classes, depth=cfg["model"].get("depth", 18))
-    variables = init_model(model, input_size=cfg["dataset"]["patch_size"])
+    variables = init_model(
+        model,
+        input_size=cfg["dataset"]["patch_size"],
+        in_channels=in_channels,
+        pretrained=in_channels == 3,
+    )
     state = create_train_state(model, variables, cfg["training"]["lr"])
 
     scheduler = ReduceLROnPlateau(
@@ -274,9 +306,9 @@ def train(cfg, resume: bool = False, mesh=None):
     # the fused TPU-native epoch: sampling + augment + fwd/bwd + update for the
     # whole epoch in one device program — the host is touched once per epoch
     fused_epoch = make_fused_epoch(
-        model, train_val_dataset, batch_size, train_steps, mesh=mesh
+        model, sample_source, batch_size, train_steps, mesh=mesh
     )
-    fused_eval = make_fused_eval(model, train_val_dataset, batch_size, val_steps)
+    fused_eval = make_fused_eval(model, sample_source, batch_size, val_steps)
 
     epoch_key = jax.random.key(cfg["training"].get("seed", 0))
 

@@ -3,6 +3,7 @@ sampling and whole-slide random/dense tiling, with on-device coordinate
 generation and patch gathering."""
 
 from .bank import SlideBank
+from .multimag import MultiMagBank, make_multimag_sample_fn, stack_mags_as_channels
 from .full import FullImageDenseSampler, FullImageRndSampler, SamplerExecutionMode
 from .region import (
     AnnoRegionDenseSampler,
@@ -18,6 +19,9 @@ __all__ = [
     "AnnoRegionRndSampler",
     "FullImageDenseSampler",
     "FullImageRndSampler",
+    "MultiMagBank",
+    "make_multimag_sample_fn",
+    "stack_mags_as_channels",
     "RegionTable",
     "SamplerExecutionMode",
     "SlideBank",

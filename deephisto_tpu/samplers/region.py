@@ -302,11 +302,13 @@ class AnnoRegionRndSampler:
 
     # -- the jitted sampling step -------------------------------------------
 
-    def make_sample_fn(self, n: int, forced_cls: int | None = None):
+    def make_sample_fn(self, n: int, forced_cls: int | None = None, gather: bool = True):
         """A pure function ``key -> (patches_u8, labels, coords, img_idx)``
         closing over the region table, weight matrices, and the slide bank as
         jit constants — embeddable inside larger jitted programs (the fused
-        training epoch, fused random predict)."""
+        training epoch, fused random predict). With ``gather=False`` the
+        returned function yields ``(labels, coords, img_idx)`` only, for
+        callers that gather differently (e.g. multi-magnification banks)."""
         t = self.table
 
         def fn(key):
@@ -315,7 +317,7 @@ class AnnoRegionRndSampler:
                 t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
                 self._logw_img_cls_region, self._cls_available,
                 self._img_cls_available, self._logw_img_all, self.bank.images,
-                n=n, forced_cls=forced_cls,
+                n=n, forced_cls=forced_cls, gather=gather,
             )
 
         return fn
@@ -336,7 +338,7 @@ class AnnoRegionRndSampler:
     def _step_impl(self, key, verts, area, class_idx, image_idx, lo, hi,
                    anchors, n_anchors, logw_cls_region, logw_img_cls_region,
                    cls_available, img_cls_available, logw_img_all, images,
-                   *, n: int, forced_cls: int | None):
+                   *, n: int, forced_cls: int | None, gather: bool = True):
         k = self.patches_from_one_region
         G = -(-n // k)
         T = self.n_trials
@@ -403,6 +405,8 @@ class AnnoRegionRndSampler:
         labels = jnp.broadcast_to(cls[:, None], (G, k)).reshape(-1)[:n]
         img_idx = jnp.broadcast_to(image_idx[region][:, None], (G, k)).reshape(-1)[:n]
         coords = coords.reshape(-1, 2)[:n]
+        if not gather:
+            return labels.astype(jnp.int32), coords, img_idx
         patches = gather_patches_multi_xla(images, img_idx, coords, ps)
         return patches, labels.astype(jnp.int32), coords, img_idx
 
