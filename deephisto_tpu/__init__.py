@@ -22,3 +22,28 @@ Layer map (bottom → top), mirroring the reference's five layers
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: TPU compiles of the fused pipelines
+    take minutes through remote-compile tunnels; caching makes every CLI rerun
+    start hot. Opt out with DEEPHISTO_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("DEEPHISTO_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "DEEPHISTO_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/deephisto_tpu/jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -36,7 +36,9 @@ def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "patch_size", "downscale", "n_classes", "softmax"),
+    static_argnames=(
+        "model", "patch_size", "downscale", "n_classes", "softmax", "mesh",
+    ),
 )
 def _predict_scan(
     image: jnp.ndarray,
@@ -47,13 +49,28 @@ def _predict_scan(
     downscale: int,
     n_classes: int,
     softmax: bool,
+    mesh=None,
 ):
     d = downscale
     dh = image.shape[0] // d
     dw = image.shape[1] // d
     f = max(1, patch_size // d)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    else:
+        data_sh = None
+
     def step(pred_map, coords):
+        if data_sh is not None:
+            # shard each batch's patches over the data axis: gather + forward
+            # run data-parallel; the scatter-add into the replicated map gets
+            # its all-reduce from GSPMD (the spatial-parallel inference story)
+            coords = jax.lax.with_sharding_constraint(coords, data_sh)
         patches = gather_patches_xla(image, coords, patch_size)
         x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         logits = model.apply(
@@ -191,6 +208,7 @@ def predict_full_fused(
     batch_size: int = 256,
     downscale: int = 16,
     softmax: bool = False,
+    mesh=None,
 ):
     """Dense full-WSI prediction in one device program.
 
@@ -216,5 +234,6 @@ def predict_full_fused(
         downscale,
         n_classes,
         softmax,
+        mesh,
     )
     return np.asarray(argmax_map), score_map

@@ -61,20 +61,20 @@ if __name__ == "__main__":
         variables = init_model(model, pretrained=False)
 
     # --- make WSI prediction ---
-    if random_sampler:
-        patch_sampler = FullImageRndSampler(
-            img_path,
-            layer=layer,
-            patch_size=224,
-            batch_size=64,
-            mode=SamplerExecutionMode.INMEMORY_SINGLEPROC,
-        )
-    else:
-        patch_sampler = FullImageDenseSampler(
-            img_path, layer=layer, patch_size=224, batch_size=64, stride=112
-        )
-
     if args.host_loop:
+        # reference-style incremental path: sampler generator + host predictor
+        if random_sampler:
+            patch_sampler = FullImageRndSampler(
+                img_path,
+                layer=layer,
+                patch_size=224,
+                batch_size=64,
+                mode=SamplerExecutionMode.INMEMORY_SINGLEPROC,
+            )
+        else:
+            patch_sampler = FullImageDenseSampler(
+                img_path, layer=layer, patch_size=224, batch_size=64, stride=112
+            )
         predictor = ImagePredictorPatched(
             img_path,
             patch_sampler=patch_sampler.generator(),
@@ -85,9 +85,24 @@ if __name__ == "__main__":
         )
         pred = predictor.process()
     else:
-        pred = process_on_device(
-            patch_sampler, model, variables, n_classes=5, downscale=downscale_vis
-        )
+        # fused single-program paths (the fast default)
+        from deephisto_tpu.predict import predict_full_fused, predict_full_random_fused
+        from deephisto_tpu.slide import open_slide
+
+        with open_slide(img_path) as slide:
+            h, w = slide.layer_size(layer)
+            image = slide.get_region_from_layer(layer, (0, 0), (h, w))
+        if random_sampler:
+            pred, _, _, filled, steps = predict_full_random_fused(
+                image, model, variables, n_classes=5, patch_size=224,
+                batch_size=64, downscale=downscale_vis, speedup=16,
+            )
+            print(f"coverage {filled:.3f} after {steps} batches")
+        else:
+            pred, _ = predict_full_fused(
+                image, model, variables, n_classes=5, patch_size=224,
+                stride=112, batch_size=64, downscale=downscale_vis,
+            )
 
     # --- save visualizations ---
     perform_and_save_visualizations(img_path, anno_dsc, pred, out_dir=Path("./output/"))

@@ -87,3 +87,38 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 5)
+
+
+def test_fused_predict_data_parallel_matches_single():
+    """The fused dense predict sharded over the 8-device mesh must produce the
+    same class map as the single-device program."""
+    import flax.linen as nn
+    import numpy as np
+
+    from deephisto_tpu.parallel import make_mesh
+    from deephisto_tpu.predict import predict_full_fused
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), (2, 2))(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(5)(x)
+
+    model = Tiny()
+    ps = 32
+    variables = model.init(jax.random.key(0), jnp.zeros((1, ps, ps, 3)))
+    variables = {"params": variables["params"], "batch_stats": {}}
+    img = np.random.default_rng(0).integers(0, 255, (256, 256, 3), dtype=np.uint8)
+
+    single, _ = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=ps, stride=ps,
+        batch_size=16, downscale=16,
+    )
+    mesh = make_mesh()
+    multi, _ = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=ps, stride=ps,
+        batch_size=16, downscale=16, mesh=mesh,
+    )
+    assert (single == multi).mean() > 0.999
