@@ -43,6 +43,31 @@ class SamplerExecutionMode(Enum):
     ONDISK_MULTIPROC = 2
 
 
+DEVICE_SLIDE_BUDGET = int(
+    float(__import__("os").environ.get("DEEPHISTO_DEVICE_SLIDE_BUDGET", 12 << 30))
+)
+
+
+def _stage(data: np.ndarray):
+    """Stage a slide layer for gathering: device array when it fits the HBM
+    budget, host array (with native parallel extraction) otherwise."""
+    data = np.ascontiguousarray(data)
+    if data.nbytes <= DEVICE_SLIDE_BUDGET:
+        return jnp.asarray(data), True
+    return data, False
+
+
+def _host_gather(data: np.ndarray, coords: np.ndarray, ps: int):
+    from .. import native
+
+    if native.AVAILABLE:
+        return jnp.asarray(native.extract_patches_native(data, coords, ps))
+    out = np.empty((len(coords), ps, ps, 3), dtype=np.uint8)
+    for i, (y, x) in enumerate(np.asarray(coords)):
+        out[i] = data[y : y + ps, x : x + ps]
+    return jnp.asarray(out)
+
+
 def _load_layer(path_or_slide, layer: int):
     if isinstance(path_or_slide, Slide):
         slide = path_or_slide
@@ -100,6 +125,36 @@ def _rnd_step(
     return accum, patches, coords, filled_ratio
 
 
+@functools.partial(
+    jax.jit, static_argnames=("batch_size", "patch_size", "downscale", "dense_level")
+)
+def _rnd_coords_step(
+    key, accum, h: int, w: int, batch_size: int, patch_size: int,
+    downscale: int, dense_level: int,
+):
+    """Coverage step without the gather — for slides kept in host RAM."""
+    d = downscale
+    ps = patch_size
+    dh, dw = accum.shape
+    k_cells, k_jit = jax.random.split(key)
+    p = jnp.where(accum >= dense_level, 0.0, 1.0)
+    logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
+    g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
+    _, cells = jax.lax.top_k(logp + g, batch_size)
+    cy, cx = cells // dw, cells % dw
+    pd2 = ps // d // 2
+    jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, d)
+    y = jnp.clip((cy - pd2) * d + jit_yx[0], 0, h - ps)
+    x = jnp.clip((cx - pd2) * d + jit_yx[1], 0, w - ps)
+    coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
+    accum3 = scatter_add_map(
+        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype), ps // d
+    )
+    accum = accum3[..., 0]
+    filled_ratio = jnp.count_nonzero(accum) / accum.size
+    return accum, coords, filled_ratio
+
+
 class FullImageRndSampler:
     """Coverage-guided random tiling of a whole slide
     (reference full_samplers.py:21-299)."""
@@ -118,7 +173,7 @@ class FullImageRndSampler:
         self.layer = layer
         data, (self.h, self.w) = _load_layer(psimage_path, layer)
         self.data = data
-        self._image_dev = jnp.asarray(np.ascontiguousarray(data))
+        self._image_dev, self._on_device = _stage(data)
         self.dh = self.h // speedup
         self.dw = self.w // speedup
         print(f"Image {self.h} x {self.w} at {speedup}x -> {self.dh} x {self.dw}")
@@ -139,17 +194,20 @@ class FullImageRndSampler:
         filled = 0.0
         while filled < 1.0:
             self._key, sub = jax.random.split(self._key)
-            accum, patches, coords, fr = _rnd_step(
-                sub,
-                accum,
-                self._image_dev,
-                self.h,
-                self.w,
-                self.batch_size,
-                self.patch_size,
-                self._downscale,
-                self.dense_level,
-            )
+            if self._on_device:
+                accum, patches, coords, fr = _rnd_step(
+                    sub, accum, self._image_dev, self.h, self.w,
+                    self.batch_size, self.patch_size, self._downscale,
+                    self.dense_level,
+                )
+            else:
+                # slide exceeds the HBM budget: coords on device, gather on
+                # host (native parallel extraction), patches uploaded per batch
+                accum, coords, fr = _rnd_coords_step(
+                    sub, accum, self.h, self.w, self.batch_size,
+                    self.patch_size, self._downscale, self.dense_level,
+                )
+                patches = _host_gather(self.data, np.asarray(coords), self.patch_size)
             filled = float(fr)
             self._filled_ratio.append(filled)
             yield patches, coords, filled
@@ -236,7 +294,7 @@ class FullImageDenseSampler:
         self.layer = layer
         data, (self.h, self.w) = _load_layer(psimage_path, layer)
         self.data = data
-        self._image_dev = jnp.asarray(np.ascontiguousarray(data))
+        self._image_dev, self._on_device = _stage(data)
         self.patch_size = patch_size
         self.batch_size = batch_size
         self.stride = stride if stride is not None else patch_size
@@ -268,7 +326,12 @@ class FullImageDenseSampler:
         batched = self._create_batched_coords()
         n = len(batched)
         for i, c in enumerate(batched):
-            patches = gather_patches_xla(self._image_dev, jnp.asarray(c), self.patch_size)
+            if self._on_device:
+                patches = gather_patches_xla(
+                    self._image_dev, jnp.asarray(c), self.patch_size
+                )
+            else:
+                patches = _host_gather(self.data, c, self.patch_size)
             yield patches, c, i / n
 
     def generator(self) -> Iterable[tuple[list[Patch], float]]:

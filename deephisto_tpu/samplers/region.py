@@ -411,16 +411,40 @@ class AnnoRegionRndSampler:
         return patches, labels.astype(jnp.int32), coords, img_idx
 
     def _sample_batch(self, n: int, forced_cls: int | None = None):
-        """One device batch: (patches_u8, labels, coords, image_idx)."""
+        """One device batch: (patches_u8, labels, coords, image_idx). When the
+        slide bank exceeds the HBM budget (host mode), coordinates come from
+        the device step and patches from the native host extractor."""
         self._key, sub = jax.random.split(self._key)
-        fn = self._get_step(n, forced_cls)
+        if self.bank.on_device:
+            fn = self._get_step(n, forced_cls)
+            t = self.table
+            return fn(
+                sub, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
+                t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+                self._logw_img_cls_region, self._cls_available,
+                self._img_cls_available, self._logw_img_all, self.bank.images,
+            )
+        coord_fn = self._jitted.get((n, forced_cls, "coords"))
+        if coord_fn is None:
+            import functools
+
+            coord_fn = jax.jit(
+                functools.partial(
+                    self._step_impl, n=n, forced_cls=forced_cls, gather=False
+                )
+            )
+            self._jitted[(n, forced_cls, "coords")] = coord_fn
         t = self.table
-        return fn(
+        labels, coords, img_idx = coord_fn(
             sub, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
             t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
             self._logw_img_cls_region, self._cls_available,
-            self._img_cls_available, self._logw_img_all, self.bank.images,
+            self._img_cls_available, self._logw_img_all, np.zeros((0,)),
         )
+        patches = self.bank.gather(
+            np.asarray(img_idx), np.asarray(coords), self.patch_size
+        )
+        return patches, labels, coords, img_idx
 
     # -- public generator API (reference parity) -----------------------------
 

@@ -129,3 +129,34 @@ def test_rnd_coverage_guidance_prefers_empty_cells(slide):
         if len(ratios) >= 6:
             break
     assert all(b > a for a, b in zip(ratios, ratios[1:]))
+
+
+def test_full_samplers_host_mode(slide, monkeypatch):
+    """Force the host-staging path (HBM budget 0) for both full samplers."""
+    import deephisto_tpu.samplers.full as full_mod
+
+    monkeypatch.setattr(full_mod, "DEVICE_SLIDE_BUDGET", 0)
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+
+    s = full_mod.FullImageDenseSampler(
+        slide, layer=2, patch_size=PS, batch_size=BS, stride=PS
+    )
+    assert not s._on_device
+    patches, progress = next(iter(s.generator()))
+    for p in patches:
+        np.testing.assert_array_equal(
+            p.data, layer2[p.pos_y : p.pos_y + PS, p.pos_x : p.pos_x + PS]
+        )
+
+    r = full_mod.FullImageRndSampler(
+        slide, layer=2, patch_size=PS, batch_size=BS
+    ).seed(4)
+    assert not r._on_device
+    last = 0.0
+    for patches, filled in r.generator():
+        for p in patches[:4]:
+            np.testing.assert_array_equal(
+                p.data, layer2[p.pos_y : p.pos_y + PS, p.pos_x : p.pos_x + PS]
+            )
+        last = filled
+    assert last >= 1.0

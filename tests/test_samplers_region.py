@@ -233,3 +233,29 @@ def test_extract_and_save_subset(synthetic_dataset_module, tmp_path):
 
         im = Image.open(jpgs[0])
         assert im.size == (PS, PS)
+
+
+def test_rnd_sampler_host_mode_bank(synthetic_dataset_module):
+    """Slides exceeding the HBM budget stay on host: coords from the device
+    step, patches from the native host extractor — same contract."""
+    from deephisto_tpu.samplers import SlideBank
+
+    pairs = get_img_ano_paths(synthetic_dataset_module, "train")
+    host_bank = SlideBank([p for p, _ in pairs], layer=LAYER, device=False)
+    assert not host_bank.on_device
+    s = AnnoRegionRndSampler(
+        pairs, layer=LAYER, patch_size=PS, seed=2, slide_bank=host_bank,
+        verbose=False,
+    )
+    feats, labels, coords = next(s.jax_generator(8, 1))
+    assert feats.shape == (8, PS, PS, 3)
+    # patches must satisfy the intersection invariant, like device mode
+    for batch in s.structs_generator(batch_size=8, n_batches=1):
+        for patch, cls_idx in batch:
+            cls = s.classes[cls_idx]
+            y, x = patch.pos_y, patch.pos_x
+            best = max(
+                clip_area_box(reg.vertices_layer, x, y, x + PS, y + PS)
+                for reg in s.regions[cls]
+            )
+            assert best > PS * PS * s.region_intersection
