@@ -35,8 +35,13 @@ def open_slide(path) -> Slide:
     if path.suffix == ".dhs":
         return DHSlide(path)
     if path.suffix == ".psi":
+        from .psi import PSISlide, psimage_available
+
+        if psimage_available():
+            return PSISlide(path)
         raise NotImplementedError(
-            "PSI codec is not bundled; convert the slide to .dhs "
-            "(deephisto_tpu.slide.write_dhs) or register a psimage-backed Slide."
+            "PSI codec requires the psimage package (not bundled); install it, "
+            "or convert the slide to .dhs via "
+            "deephisto_tpu.slide.psi.convert_psi_to_dhs / write_dhs."
         )
     raise ValueError(f"unknown slide format: {path.suffix!r} ({path})")
