@@ -1,0 +1,107 @@
+"""Statistical validation of the sampler's weighted-choice semantics against
+the reference's distributional behavior (np.random.choice with area weights,
+reference region_samplers.py:546-581), plus edge cases."""
+
+import json
+
+import numpy as np
+import pytest
+
+from deephisto_tpu.samplers import AnnoRegionRndSampler
+from deephisto_tpu.slide import write_dhs
+
+
+def _make_two_region_dataset(tmp_path, areas_px=(64 * 64 * 16, 64 * 64 * 4)):
+    """One slide, one class, two square regions with controlled areas."""
+    h = w = 1024
+    img = np.full((h, w, 3), 230, dtype=np.uint8)
+    annos = []
+    x0 = 50
+    for a in areas_px:
+        side = int(np.sqrt(a))
+        y0 = 100
+        poly = [
+            [x0, y0], [x0 + side, y0], [x0 + side, y0 + side], [x0, y0 + side]
+        ]
+        annos.append({"class": "TUM", "vertices": [[float(x), float(y)] for x, y in poly]})
+        x0 += side + 100
+    img_dir = tmp_path / "images" / "train"
+    anno_dir = tmp_path / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    write_dhs(img, img_dir / "s.dhs", max_layer=2)
+    (anno_dir / "s.json").write_text(json.dumps(annos))
+    return [(img_dir / "s.dhs", anno_dir / "s.json")], areas_px
+
+
+def _region_of(patch, areas_px):
+    """Which region a patch corner belongs to (regions are disjoint in x)."""
+    side0 = int(np.sqrt(areas_px[0]))
+    return 0 if patch.pos_x < 50 + side0 + 50 else 1
+
+
+@pytest.mark.parametrize(
+    "influence,expected_frac0",
+    [
+        (0.0, 0.5),  # uniform over regions
+        (1.0, 16 / 20),  # proportional to area (16:4)
+        (-1.0, (1 / 16) / (1 / 16 + 1 / 4)),  # inverse-proportional
+    ],
+)
+def test_region_pick_frequencies_match_weights(tmp_path, influence, expected_frac0):
+    pairs, areas = _make_two_region_dataset(tmp_path / f"i{influence}")
+    s = AnnoRegionRndSampler(
+        pairs,
+        layer=1,
+        patch_size=16,
+        patches_from_one_region=1,
+        region_area_influence=influence,
+        seed=3,
+        verbose=False,
+    )
+    counts = [0, 0]
+    for batch in s.structs_generator(batch_size=64, n_batches=10):
+        for patch, _ in batch:
+            counts[_region_of(patch, areas)] += 1
+    frac0 = counts[0] / sum(counts)
+    assert frac0 == pytest.approx(expected_frac0, abs=0.06), (counts, expected_frac0)
+
+
+def test_single_class_dataset_works(tmp_path):
+    pairs, _ = _make_two_region_dataset(tmp_path / "single")
+    s = AnnoRegionRndSampler(pairs, layer=1, patch_size=16, seed=0, verbose=False)
+    assert s.classes == ["TUM"]
+    feats, labels, _ = next(s.jax_generator(8, 1))
+    assert (np.asarray(labels) == 0).all()
+
+
+def test_tiny_regions_excluded_not_fatal(tmp_path):
+    """Regions smaller than the patch threshold are excluded up front (the
+    reference retried them forever, region_samplers.py:571-572)."""
+    pairs, areas = _make_two_region_dataset(
+        tmp_path / "tiny", areas_px=(64 * 64 * 16, 25)  # second region 5x5 px
+    )
+    s = AnnoRegionRndSampler(
+        pairs, layer=1, patch_size=16, seed=0, verbose=False
+    )
+    # the infeasible region carries zero weight; sampling still works and only
+    # emits patches from the big region
+    for batch in s.structs_generator(batch_size=16, n_batches=2):
+        for patch, _ in batch:
+            assert _region_of(patch, areas) == 0
+
+
+def test_empty_annotations_raise(tmp_path):
+    root = tmp_path / "empty"
+    img_dir = root / "images" / "train"
+    anno_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    img = np.zeros((128, 128, 3), dtype=np.uint8)
+    write_dhs(img, img_dir / "s.dhs", max_layer=2)
+    (anno_dir / "s.json").write_text("[]")
+    with pytest.raises(ValueError, match="no regions"):
+        AnnoRegionRndSampler(
+            [(img_dir / "s.dhs", anno_dir / "s.json")],
+            layer=1, patch_size=16, verbose=False,
+        )
