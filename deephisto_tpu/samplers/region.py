@@ -296,9 +296,14 @@ class AnnoRegionRndSampler:
         self._img_cls_available = jnp.asarray(
             np.where(w_img_cls_region.sum(2) > 0, 0.0, NEG_INF).astype(np.float32)
         )
-        self._logw_img_all = jnp.asarray(
-            np.log(np.maximum(self._img_w_all, 1e-38)).astype(np.float32)
+        # images with zero feasible regions must never be drawn in
+        # one_image_for_batch mode (their class categorical would be
+        # degenerate) — mask them out of the image weights
+        img_feasible = w_img_cls_region.sum(axis=(1, 2)) > 0
+        logw_img = np.where(
+            img_feasible, np.log(np.maximum(self._img_w_all, 1e-38)), NEG_INF
         )
+        self._logw_img_all = jnp.asarray(logw_img.astype(np.float32))
 
     # -- the jitted sampling step -------------------------------------------
 

@@ -105,3 +105,35 @@ def test_empty_annotations_raise(tmp_path):
             [(img_dir / "s.dhs", anno_dir / "s.json")],
             layer=1, patch_size=16, verbose=False,
         )
+
+
+def test_one_image_mode_skips_infeasible_images(tmp_path):
+    """A slide whose every region is too small must never be picked in
+    one_image_for_batch mode."""
+    root = tmp_path / "mixed"
+    img_dir = root / "images" / "train"
+    anno_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    img = np.full((512, 512, 3), 200, dtype=np.uint8)
+    # slide 0: one good 256x256 region; slide 1: one 4x4 speck
+    for stem, poly in (
+        ("good", [[50, 50], [306, 50], [306, 306], [50, 306]]),
+        ("bad", [[50, 50], [54, 50], [54, 54], [50, 54]]),
+    ):
+        write_dhs(img, img_dir / f"{stem}.dhs", max_layer=2)
+        (anno_dir / f"{stem}.json").write_text(
+            json.dumps([{"class": "TUM", "vertices": [[float(x), float(y)] for x, y in poly]}])
+        )
+    pairs = [
+        (img_dir / "bad.dhs", anno_dir / "bad.json"),
+        (img_dir / "good.dhs", anno_dir / "good.json"),
+    ]
+    s = AnnoRegionRndSampler(
+        pairs, layer=1, patch_size=32, one_image_for_batch=True, seed=1,
+        verbose=False,
+    )
+    for batch in s.structs_generator(batch_size=8, n_batches=5):
+        for patch, _ in batch:
+            # only the good slide's region can host valid patches
+            assert 50 <= patch.pos_x <= 306 and 50 <= patch.pos_y <= 306
