@@ -33,7 +33,7 @@ def main():
     # device-resident (SlideBank), so steady-state predict never re-uploads
     image = jnp.asarray(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
 
-    model = get_model(5, depth=18)
+    model = get_model(5, depth=18, stem="s2d")  # TPU stem (+15% vs imagenet stem)
     variables = init_model(model, pretrained=False)
 
     n_patches = len(dense_coords(H, W, PS, STRIDE))
@@ -69,7 +69,7 @@ def main():
                     "slide": f"{H}x{W} uint8 in HBM",
                     "patches": n_patches,
                     "wall_clock_s": round(dt, 4),
-                    "model": "ResNet-18 bf16",
+                    "model": "ResNet-18 bf16 (s2d stem)",
                     "backend": jax.default_backend(),
                 },
             }

@@ -13,10 +13,11 @@ import jax.numpy as jnp
 from ...models.resnet import build_resnet, load_torchvision_weights
 
 
-def get_model(n_classes: int, depth: int = 18, dtype=jnp.bfloat16):
+def get_model(n_classes: int, depth: int = 18, dtype=jnp.bfloat16, stem: str = "imagenet"):
     """ResNet backbone with an ``n_classes`` head. ``depth`` selects the
-    backbone swap (18 default; 50 for the larger configuration)."""
-    return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype)
+    backbone swap (18 default; 50 for the larger configuration); ``stem="s2d"``
+    enables the TPU space-to-depth stem for from-scratch training."""
+    return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype, stem=stem)
 
 
 def _model_depth(model) -> int:
@@ -41,7 +42,7 @@ def init_model(
         jax.random.key(seed),
         jnp.zeros((1, input_size, input_size, in_channels), jnp.float32),
     )
-    if pretrained:
+    if pretrained and getattr(model, "stem", "imagenet") == "imagenet":
         loaded = load_torchvision_weights(dict(variables), depth=_model_depth(model))
         if loaded is not None:
             variables = loaded

@@ -269,7 +269,11 @@ def train(cfg, resume: bool = False, mesh=None):
             test_data = None
 
     # model + state
-    model = get_model(n_classes, depth=cfg["model"].get("depth", 18))
+    model = get_model(
+        n_classes,
+        depth=cfg["model"].get("depth", 18),
+        stem=cfg["model"].get("stem", "imagenet"),
+    )
     variables = init_model(
         model,
         input_size=cfg["dataset"]["patch_size"],

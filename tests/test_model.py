@@ -121,3 +121,13 @@ def test_reduce_lr_on_plateau_semantics():
     assert s.get_last_lr() == [pytest.approx(0.1)]
     # counter reset after reduction
     assert s.step(0.8) == pytest.approx(0.1)
+
+
+def test_s2d_stem_variant():
+    model = build_resnet(5, 18, dtype=jnp.float32, stem="s2d")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 5)
+    # stem output resolution matches the imagenet stem (h/4)
+    assert "conv1" in variables["params"]
+    assert variables["params"]["conv1"]["kernel"].shape == (2, 2, 48, 64)
