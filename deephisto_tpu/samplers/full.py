@@ -35,9 +35,11 @@ from ..slide import Patch, Slide, open_slide
 
 
 class SamplerExecutionMode(Enum):
-    """Kept for API parity (reference full_samplers.py:16-18). Both modes run
-    the same device pipeline here — there are no worker processes to choose
-    between; the enum only controls nothing-burger staging details."""
+    """API parity with reference full_samplers.py:16-18, with TPU-era
+    semantics: INMEMORY_SINGLEPROC materializes the layer (device-staged when
+    it fits the HBM budget); ONDISK_MULTIPROC keeps a DHS layer memory-mapped
+    — patches are extracted by the native parallel reader touching only the
+    pages needed, so slides larger than host RAM work."""
 
     INMEMORY_SINGLEPROC = 1
     ONDISK_MULTIPROC = 2
@@ -68,13 +70,29 @@ def _host_gather(data: np.ndarray, coords: np.ndarray, ps: int):
     return jnp.asarray(out)
 
 
-def _load_layer(path_or_slide, layer: int):
+def _load_layer(path_or_slide, layer: int, mmap_ok: bool = False):
+    """Load (or memory-map) a pyramid layer.
+
+    With ``mmap_ok`` and a DHS slide, returns the raw mmap array — region
+    reads then touch only the pages they need, supporting slides larger than
+    host RAM (the useful meaning of the reference's ONDISK mode).
+    """
+    from .dhs_mmap import try_mmap_layer
+
     if isinstance(path_or_slide, Slide):
         slide = path_or_slide
         h, w = slide.layer_size(layer)
+        if mmap_ok:
+            arr = try_mmap_layer(slide, layer)
+            if arr is not None:
+                return arr, (h, w)
         return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
     with open_slide(path_or_slide) as slide:
         h, w = slide.layer_size(layer)
+        if mmap_ok:
+            arr = try_mmap_layer(slide, layer)
+            if arr is not None:
+                return arr, (h, w)
         return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
 
 
@@ -171,9 +189,13 @@ class FullImageRndSampler:
     ):
         self.mode = mode
         self.layer = layer
-        data, (self.h, self.w) = _load_layer(psimage_path, layer)
+        ondisk = mode == SamplerExecutionMode.ONDISK_MULTIPROC
+        data, (self.h, self.w) = _load_layer(psimage_path, layer, mmap_ok=ondisk)
         self.data = data
-        self._image_dev, self._on_device = _stage(data)
+        if ondisk and isinstance(data, np.memmap):
+            self._image_dev, self._on_device = data, False
+        else:
+            self._image_dev, self._on_device = _stage(data)
         self.dh = self.h // speedup
         self.dw = self.w // speedup
         print(f"Image {self.h} x {self.w} at {speedup}x -> {self.dh} x {self.dw}")
@@ -292,9 +314,13 @@ class FullImageDenseSampler:
     ):
         self.mode = mode
         self.layer = layer
-        data, (self.h, self.w) = _load_layer(psimage_path, layer)
+        ondisk = mode == SamplerExecutionMode.ONDISK_MULTIPROC
+        data, (self.h, self.w) = _load_layer(psimage_path, layer, mmap_ok=ondisk)
         self.data = data
-        self._image_dev, self._on_device = _stage(data)
+        if ondisk and isinstance(data, np.memmap):
+            self._image_dev, self._on_device = data, False
+        else:
+            self._image_dev, self._on_device = _stage(data)
         self.patch_size = patch_size
         self.batch_size = batch_size
         self.stride = stride if stride is not None else patch_size

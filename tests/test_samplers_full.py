@@ -160,3 +160,35 @@ def test_full_samplers_host_mode(slide, monkeypatch):
             )
         last = filled
     assert last >= 1.0
+
+
+def test_ondisk_mode_uses_mmap(tmp_path):
+    """ONDISK_MULTIPROC on a DHS slide keeps the layer memory-mapped and
+    yields byte-identical patches."""
+    from deephisto_tpu.slide import write_dhs
+
+    rng2 = np.random.default_rng(7)
+    arr = rng2.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    p = write_dhs(arr, tmp_path / "s.dhs", max_layer=2)
+
+    s = FullImageDenseSampler(
+        p, layer=1, patch_size=PS, batch_size=BS, stride=PS,
+        mode=SamplerExecutionMode.ONDISK_MULTIPROC,
+    )
+    assert isinstance(s.data, np.memmap) and not s._on_device
+    patches, _ = next(iter(s.generator()))
+    for pt in patches:
+        np.testing.assert_array_equal(
+            pt.data, arr[pt.pos_y : pt.pos_y + PS, pt.pos_x : pt.pos_x + PS]
+        )
+
+    r = FullImageRndSampler(
+        p, layer=1, patch_size=PS, batch_size=BS,
+        mode=SamplerExecutionMode.ONDISK_MULTIPROC,
+    ).seed(1)
+    assert isinstance(r.data, np.memmap) and not r._on_device
+    patches, _ = next(iter(r.generator()))
+    for pt in patches[:4]:
+        np.testing.assert_array_equal(
+            pt.data, arr[pt.pos_y : pt.pos_y + PS, pt.pos_x : pt.pos_x + PS]
+        )
