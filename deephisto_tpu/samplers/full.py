@@ -50,9 +50,12 @@ DEVICE_SLIDE_BUDGET = int(
 )
 
 
-def _stage(data: np.ndarray):
+def _stage(data: np.ndarray, ondisk: bool = False):
     """Stage a slide layer for gathering: device array when it fits the HBM
-    budget, host array (with native parallel extraction) otherwise."""
+    budget (and isn't an ONDISK mmap), host array (with native parallel
+    extraction) otherwise."""
+    if ondisk and isinstance(data, np.memmap):
+        return data, False
     data = np.ascontiguousarray(data)
     if data.nbytes <= DEVICE_SLIDE_BUDGET:
         return jnp.asarray(data), True
@@ -71,28 +74,30 @@ def _host_gather(data: np.ndarray, coords: np.ndarray, ps: int):
 
 
 def _load_layer(path_or_slide, layer: int, mmap_ok: bool = False):
-    """Load (or memory-map) a pyramid layer.
+    """Load (or memory-map) a pyramid layer → (array, (h, w)).
 
-    With ``mmap_ok`` and a DHS slide, returns the raw mmap array — region
-    reads then touch only the pages they need, supporting slides larger than
-    host RAM (the useful meaning of the reference's ONDISK mode).
+    With ``mmap_ok`` and a backend that supports it (Slide.mmap_layer),
+    returns the raw mmap array — region reads then touch only the pages they
+    need, supporting slides larger than host RAM (the useful meaning of the
+    reference's ONDISK mode). Backends without mmap support fall back to
+    materializing, with a warning, since that defeats the mode's purpose.
     """
-    from .dhs_mmap import try_mmap_layer
+    import contextlib
 
-    if isinstance(path_or_slide, Slide):
-        slide = path_or_slide
+    with contextlib.ExitStack() as stack:
+        if isinstance(path_or_slide, Slide):
+            slide = path_or_slide
+        else:
+            slide = stack.enter_context(open_slide(path_or_slide))
         h, w = slide.layer_size(layer)
         if mmap_ok:
-            arr = try_mmap_layer(slide, layer)
+            arr = slide.mmap_layer(layer)
             if arr is not None:
                 return arr, (h, w)
-        return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
-    with open_slide(path_or_slide) as slide:
-        h, w = slide.layer_size(layer)
-        if mmap_ok:
-            arr = try_mmap_layer(slide, layer)
-            if arr is not None:
-                return arr, (h, w)
+            print(
+                "warning: ONDISK mode requested but this slide backend has no "
+                "memory-mapped layers; materializing the layer in host RAM."
+            )
         return slide.get_region_from_layer(layer, (0, 0), (h, w)), (h, w)
 
 
@@ -192,10 +197,7 @@ class FullImageRndSampler:
         ondisk = mode == SamplerExecutionMode.ONDISK_MULTIPROC
         data, (self.h, self.w) = _load_layer(psimage_path, layer, mmap_ok=ondisk)
         self.data = data
-        if ondisk and isinstance(data, np.memmap):
-            self._image_dev, self._on_device = data, False
-        else:
-            self._image_dev, self._on_device = _stage(data)
+        self._image_dev, self._on_device = _stage(data, ondisk)
         self.dh = self.h // speedup
         self.dw = self.w // speedup
         print(f"Image {self.h} x {self.w} at {speedup}x -> {self.dh} x {self.dw}")
@@ -317,10 +319,7 @@ class FullImageDenseSampler:
         ondisk = mode == SamplerExecutionMode.ONDISK_MULTIPROC
         data, (self.h, self.w) = _load_layer(psimage_path, layer, mmap_ok=ondisk)
         self.data = data
-        if ondisk and isinstance(data, np.memmap):
-            self._image_dev, self._on_device = data, False
-        else:
-            self._image_dev, self._on_device = _stage(data)
+        self._image_dev, self._on_device = _stage(data, ondisk)
         self.patch_size = patch_size
         self.batch_size = batch_size
         self.stride = stride if stride is not None else patch_size

@@ -129,6 +129,13 @@ class Slide:
     def _layer_array(self, layer: int) -> np.ndarray:
         raise NotImplementedError
 
+    def mmap_layer(self, layer: int) -> np.ndarray | None:
+        """A memory-mapped full-layer array when the backend supports
+        out-of-core reads (overridden by DHSlide), else None. Callers use this
+        for slides larger than host RAM; region reads then touch only the
+        pages needed."""
+        return None
+
     def close(self) -> None:  # noqa: B027 - optional hook
         pass
 

@@ -175,7 +175,8 @@ def test_ondisk_mode_uses_mmap(tmp_path):
         p, layer=1, patch_size=PS, batch_size=BS, stride=PS,
         mode=SamplerExecutionMode.ONDISK_MULTIPROC,
     )
-    assert isinstance(s.data, np.memmap) and not s._on_device
+    assert not s._on_device  # the load-bearing claim: nothing staged/copied
+    assert isinstance(s.data, np.memmap)
     patches, _ = next(iter(s.generator()))
     for pt in patches:
         np.testing.assert_array_equal(
@@ -186,7 +187,8 @@ def test_ondisk_mode_uses_mmap(tmp_path):
         p, layer=1, patch_size=PS, batch_size=BS,
         mode=SamplerExecutionMode.ONDISK_MULTIPROC,
     ).seed(1)
-    assert isinstance(r.data, np.memmap) and not r._on_device
+    assert not r._on_device
+    assert isinstance(r.data, np.memmap)
     patches, _ = next(iter(r.generator()))
     for pt in patches[:4]:
         np.testing.assert_array_equal(
