@@ -1,5 +1,6 @@
 """Parallelism (device mesh + sharding rules)."""
 
+from .spatial import band_partition, predict_full_spatial
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -10,6 +11,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "band_partition",
+    "predict_full_spatial",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",

@@ -122,3 +122,42 @@ def test_fused_predict_data_parallel_matches_single():
         batch_size=16, downscale=16, mesh=mesh,
     )
     assert (single == multi).mean() > 0.999
+
+
+def test_spatial_sharded_predict_matches_single():
+    """The slide-banded (SP) predict over 8 devices must equal the
+    single-device fused predict."""
+    import flax.linen as nn
+    import numpy as np
+
+    from deephisto_tpu.parallel import make_mesh
+    from deephisto_tpu.parallel.spatial import predict_full_spatial
+    from deephisto_tpu.predict import predict_full_fused
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (3, 3), (2, 2))(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(5)(x)
+
+    model = Tiny()
+    ps = 32
+    variables = model.init(jax.random.key(0), jnp.zeros((1, ps, ps, 3)))
+    variables = {"params": variables["params"], "batch_stats": {}}
+    img = np.random.default_rng(1).integers(0, 255, (512, 256, 3), dtype=np.uint8)
+
+    single, _ = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=ps, stride=ps,
+        batch_size=16, downscale=16,
+    )
+    mesh = make_mesh()
+    spatial = predict_full_spatial(
+        img, model, variables, n_classes=5, mesh=mesh, patch_size=ps,
+        stride=ps, batch_size=16, downscale=16,
+    )
+    # the fused path double-adds its padded duplicate coords on the very last
+    # tile; everywhere else the maps must agree exactly
+    agree = (single == spatial).mean()
+    assert agree > 0.995, agree
