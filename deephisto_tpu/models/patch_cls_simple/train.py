@@ -226,12 +226,24 @@ def train(cfg, resume: bool = False, mesh=None):
     ds_folder = resolve_dataset(cfg["dataset"]["folder"])
     img_anno_paths_train = get_img_ano_paths(ds_folder, sample="train")
 
+    # multi-mag banks are created first so the region sampler can share the
+    # base-layer bank instead of staging the same layer to HBM twice
+    mm_layers = cfg["dataset"].get("multi_mag_layers")
+    mm_bank = None
+    shared_bank = None
+    if mm_layers:
+        from ...samplers.multimag import MultiMagBank
+
+        mm_bank = MultiMagBank([p for p, _ in img_anno_paths_train], tuple(mm_layers))
+        shared_bank = mm_bank.banks.get(cfg["dataset"]["layer"])
+
     train_val_dataset = AnnoRegionRndSampler(
         img_anno_paths_train,
         patch_size=cfg["dataset"]["patch_size"],
         layer=cfg["dataset"]["layer"],
         patches_from_one_region=cfg["dataset"]["patches_from_one_region"],
         one_image_for_batch=cfg["training"]["one_image_for_batch"],
+        slide_bank=shared_bank,
     )
     n_classes = cfg["model"]["n_classes"]
     if len(train_val_dataset.classes) != n_classes:
@@ -252,13 +264,11 @@ def train(cfg, resume: bool = False, mesh=None):
 
     # multi-magnification configuration (BASELINE large config): patches from
     # several pyramid layers stacked on the channel axis
-    mm_layers = cfg["dataset"].get("multi_mag_layers")
     sample_source = train_val_dataset
     in_channels = 3
     if mm_layers:
-        from ...samplers.multimag import MultiMagBank, make_multimag_sample_fn
+        from ...samplers.multimag import make_multimag_sample_fn
 
-        mm_bank = MultiMagBank([p for p, _ in img_anno_paths_train], tuple(mm_layers))
         sample_source = make_multimag_sample_fn(
             train_val_dataset, mm_bank, cfg["training"]["batch_size"]
         )
@@ -293,6 +303,8 @@ def train(cfg, resume: bool = False, mesh=None):
         state, start_epoch, extra = load_train_state(last_ckpt, state)
         best_val_acc = extra.get("best_val_acc", 0.0)
         scheduler.lr = extra.get("lr", scheduler.lr)
+        scheduler.best = extra.get("sched_best")
+        scheduler.num_bad_epochs = extra.get("sched_bad_epochs", 0)
         print(f"Resumed from epoch {start_epoch} (best val acc {best_val_acc:.4f})")
 
     _, eval_step = make_steps(model, mesh)
@@ -314,7 +326,7 @@ def train(cfg, resume: bool = False, mesh=None):
     )
     fused_eval = make_fused_eval(model, sample_source, batch_size, val_steps)
 
-    epoch_key = jax.random.key(cfg["training"].get("seed", 0))
+    base_key = jax.random.key(cfg["training"].get("seed", 0))
 
     train_losses, val_losses, test_losses = [], [], []
     train_accuracies, val_accuracies, test_accuracies = [], [], []
@@ -322,7 +334,9 @@ def train(cfg, resume: bool = False, mesh=None):
     for epoch in range(start_epoch, cfg["training"]["n_epochs"]):
         # ---- train (one fused device call) ----
         t0 = time.time()
-        epoch_key, k_train, k_val = jax.random.split(epoch_key, 3)
+        # fold the epoch index in: resumed runs continue the sample stream
+        # instead of replaying epoch 0's batches
+        k_train, k_val = jax.random.split(jax.random.fold_in(base_key, epoch))
         state, losses, corrects = fused_epoch(state, k_train)
         train_loss = float(jnp.mean(losses))
         total = train_steps * batch_size
@@ -374,12 +388,18 @@ def train(cfg, resume: bool = False, mesh=None):
                     y = shard_batch(y, mesh)
                 loss, _, logits = eval_step(state, x, y)
                 valid = batch_size - pad
-                preds = np.argmax(np.asarray(logits), -1)[:valid]
+                logits_np = np.asarray(logits)
+                preds = np.argmax(logits_np, -1)[:valid]
                 correct += int((preds == labs[:valid]).sum())
                 total += valid
-                test_loss += float(loss)
+                # per-sample CE over the REAL samples only (padding the last
+                # batch must not bias the reported loss)
+                lse = np.log(np.exp(logits_np[:valid]).sum(-1))
+                test_loss += float(
+                    (lse - logits_np[np.arange(valid), labs[:valid]]).sum()
+                )
                 n_b += 1
-            test_loss /= max(n_b, 1)
+            test_loss /= max(total, 1)
             test_acc = correct / max(total, 1)
             test_losses.append(test_loss)
             test_accuracies.append(test_acc)
@@ -392,7 +412,12 @@ def train(cfg, resume: bool = False, mesh=None):
             last_ckpt,
             state,
             epoch + 1,
-            extra={"best_val_acc": best_val_acc, "lr": scheduler.lr},
+            extra={
+                "best_val_acc": best_val_acc,
+                "lr": scheduler.lr,
+                "sched_best": scheduler.best,
+                "sched_bad_epochs": scheduler.num_bad_epochs,
+            },
         )
 
     return {

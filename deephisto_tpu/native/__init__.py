@@ -88,7 +88,11 @@ def extract_patches_native(
     """Parallel host patch extraction from an HWC uint8 layer (works on
     memory-mapped arrays)."""
     img = image if image.flags["C_CONTIGUOUS"] else np.ascontiguousarray(image)
-    c = np.ascontiguousarray(coords, dtype=np.int32)
+    # defensive clamp (fresh writable copy): OOB coords would make the C++
+    # memcpy read outside the mapping (garbage or SIGSEGV on mmap'd layers)
+    c = np.array(coords, dtype=np.int32, copy=True)
+    np.clip(c[:, 0], 0, max(0, img.shape[0] - patch_size), out=c[:, 0])
+    np.clip(c[:, 1], 0, max(0, img.shape[1] - patch_size), out=c[:, 1])
     out = np.empty((len(c), patch_size, patch_size, 3), dtype=np.uint8)
     _lib.extract_patches(
         img.ctypes.data, img.shape[0], img.shape[1], c.ctypes.data, len(c),

@@ -41,3 +41,24 @@ def uniform_int(key: jax.Array, lo, hi, shape=()) -> jnp.ndarray:
     """randint in [lo, hi) with degenerate-range safety (hi <= lo+1 → lo)."""
     hi = jnp.maximum(hi, lo + 1)
     return jax.random.randint(key, shape, lo, hi)
+
+
+def coverage_cell_topk(
+    key: jax.Array, accum: jnp.ndarray, dense_level: float, batch_size: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Draw ``batch_size`` distinct accumulator cells, preferring unsaturated
+    ones (the shared core of every coverage-guided sampler; reference
+    full_samplers.py:105-143 semantics).
+
+    Unsaturated cells (accum < dense_level) are drawn uniformly without
+    replacement; saturated cells get a tiny finite key so they are picked
+    exactly when fewer than batch_size unsaturated cells remain — uniformly at
+    random among themselves, which is the reference's add-random-empty-cells
+    guarantee. Returns (cell_y, cell_x).
+    """
+    dh, dw = accum.shape
+    p = jnp.where(accum >= dense_level, 0.0, 1.0)
+    logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
+    g = jax.random.gumbel(key, logp.shape, dtype=jnp.float32)
+    _, cells = jax.lax.top_k(logp + g, batch_size)
+    return cells // dw, cells % dw

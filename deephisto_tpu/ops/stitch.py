@@ -16,6 +16,27 @@ import jax
 import jax.numpy as jnp
 
 
+def map_footprint(patch_size: int, downscale: int) -> int:
+    """Cells a patch spans per axis in a downscaled score map: at least 1 so
+    small patches still contribute (the reference's (y+s)//d - y//d span,
+    reference predict_full_patched.py:50-53)."""
+    return max(1, patch_size // downscale)
+
+
+def coverage_footprint(patch_size: int, downscale: int) -> int:
+    """Cells to mark per axis in a coverage accumulator.
+
+    One MORE than the floor span: a patch at corner y covers accumulator rows
+    [y//d, (y+ps)//d], and with a fixed ps//d footprint the final row/column
+    cells of the accumulator are unreachable whenever ps % d exceeds the
+    layer's remainder — the coverage loop then never reaches filled==1 and
+    spins forever. The +1 over-marks by at most one partially-covered cell
+    (out-of-range cells are dropped by the scatter) and guarantees every cell
+    is reachable, hence termination.
+    """
+    return patch_size // downscale + 1
+
+
 @functools.partial(jax.jit, static_argnames=("footprint",))
 def scatter_add_map(
     acc_map: jnp.ndarray,

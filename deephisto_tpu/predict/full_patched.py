@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..anno import AnnoDescription
-from ..ops.stitch import scatter_add_map
+from ..ops.stitch import map_footprint, scatter_add_map
 from ..slide import Patch, Slide, open_slide
 
 
@@ -65,7 +65,7 @@ class ImagePredictorPatched:
         progress_bar = tqdm(total=100, desc="Predicting", unit="step", disable=not verbose)
         for patches, progress in self.patch_sampler:
             patch_preds = self.batch_predictor(patches)
-            f = max(1, patches[0].patch_size // d)  # footprint in map cells
+            f = map_footprint(patches[0].patch_size, d)
             coords_ds = np.asarray(
                 [[p.pos_y // d, p.pos_x // d] for p in patches], dtype=np.int32
             )
@@ -93,7 +93,7 @@ def process_on_device(
     d = downscale
     dh, dw = sampler.h // d, sampler.w // d
     ps = sampler.patch_size
-    f = max(1, ps // d)
+    f = map_footprint(ps, d)
 
     @jax.jit
     def step(pred_map, count_map, patches_u8, coords):

@@ -20,13 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
-from ..ops.stitch import scatter_add_map
+from ..ops.sampling import coverage_cell_topk
+from ..ops.stitch import coverage_footprint, map_footprint, scatter_add_map
 
 
 def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
     """The dense tiling coord list (grid + last col/row + corner — same cover
     rule as FullImageDenseSampler / reference full_samplers.py:374-397)."""
     ps = patch_size
+    if h < ps or w < ps:
+        raise ValueError(
+            f"layer size {(h, w)} is smaller than patch_size {ps}; choose a "
+            "lower pyramid layer or a smaller patch"
+        )
     coords = [(y, x) for y in range(0, h - ps, stride) for x in range(0, w - ps, stride)]
     coords += [(y, w - ps) for y in range(0, h - ps, stride)]
     coords += [(h - ps, x) for x in range(0, w - ps, stride)]
@@ -54,7 +60,7 @@ def _predict_scan(
     d = downscale
     dh = image.shape[0] // d
     dw = image.shape[1] // d
-    f = max(1, patch_size // d)
+    f = map_footprint(patch_size, d)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -113,8 +119,8 @@ def _predict_random_while(
     dh, dw = h // speedup, w // speedup
     mh, mw = h // downscale, w // downscale
     ps = patch_size
-    f_cov = max(1, ps // speedup)
-    f_map = max(1, ps // downscale)
+    f_cov = coverage_footprint(ps, speedup)
+    f_map = map_footprint(ps, downscale)
     pd2 = ps // speedup // 2
 
     def cond(carry):
@@ -125,11 +131,7 @@ def _predict_random_while(
         key, accum, pred, _filled, step = carry
         key, k_cells, k_jit = jax.random.split(key, 3)
 
-        p = jnp.where(accum >= dense_level, 0.0, 1.0)
-        logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
-        g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
-        _, cells = jax.lax.top_k(logp + g, batch_size)
-        cy, cx = cells // dw, cells % dw
+        cy, cx = coverage_cell_topk(k_cells, accum, dense_level, batch_size)
         jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, speedup)
         y = jnp.clip((cy - pd2) * speedup + jit_yx[0], 0, h - ps)
         x = jnp.clip((cx - pd2) * speedup + jit_yx[1], 0, w - ps)
@@ -188,7 +190,7 @@ def predict_full_random_fused(
     h, w = int(image.shape[0]), int(image.shape[1])
     if max_steps is None:
         dh, dw = h // speedup, w // speedup
-        f_cov = max(1, patch_size // speedup)
+        f_cov = coverage_footprint(patch_size, speedup)
         per_step = batch_size * f_cov * f_cov
         max_steps = int(4 * dense_level * dh * dw / max(per_step, 1)) + 64
     argmax_map, pred, accum, filled, steps = _predict_random_while(

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
-from ..ops.stitch import scatter_add_map
+from ..ops.sampling import coverage_cell_topk
+from ..ops.stitch import coverage_footprint, map_footprint, scatter_add_map
 from ..slide import Patch, Slide, open_slide
 
 
@@ -118,30 +119,20 @@ def _rnd_step(
     """One coverage-guided random batch, fully on device."""
     d = downscale
     ps = patch_size
-    dh, dw = accum.shape
     k_cells, k_jit = jax.random.split(key)
 
-    # candidate cells: unsaturated cells weighted uniformly; saturated cells
-    # get a tiny finite key so they only win when < batch_size remain
-    p = jnp.where(accum >= dense_level, 0.0, 1.0)
-    logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
-    g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
-    _, cells = jax.lax.top_k(logp + g, batch_size)
-
-    cy = cells // dw
-    cx = cells % dw
+    cy, cx = coverage_cell_topk(k_cells, accum, dense_level, batch_size)
     pd2 = ps // d // 2
     jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, d)
-    y = (cy - pd2) * d + jit_yx[0]
-    x = (cx - pd2) * d + jit_yx[1]
-    y = jnp.clip(y, 0, h - ps)
-    x = jnp.clip(x, 0, w - ps)
+    y = jnp.clip((cy - pd2) * d + jit_yx[0], 0, h - ps)
+    x = jnp.clip((cx - pd2) * d + jit_yx[1], 0, w - ps)
     coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
 
     patches = gather_patches_xla(image, coords, ps)
 
     accum3 = scatter_add_map(
-        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype), ps // d
+        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype),
+        coverage_footprint(ps, d),
     )
     accum = accum3[..., 0]
     filled_ratio = jnp.count_nonzero(accum) / accum.size
@@ -158,20 +149,16 @@ def _rnd_coords_step(
     """Coverage step without the gather — for slides kept in host RAM."""
     d = downscale
     ps = patch_size
-    dh, dw = accum.shape
     k_cells, k_jit = jax.random.split(key)
-    p = jnp.where(accum >= dense_level, 0.0, 1.0)
-    logp = jnp.where(p > 0, 0.0, -1e9).reshape(-1)
-    g = jax.random.gumbel(k_cells, logp.shape, dtype=jnp.float32)
-    _, cells = jax.lax.top_k(logp + g, batch_size)
-    cy, cx = cells // dw, cells % dw
+    cy, cx = coverage_cell_topk(k_cells, accum, dense_level, batch_size)
     pd2 = ps // d // 2
     jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, d)
     y = jnp.clip((cy - pd2) * d + jit_yx[0], 0, h - ps)
     x = jnp.clip((cx - pd2) * d + jit_yx[1], 0, w - ps)
     coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
     accum3 = scatter_add_map(
-        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype), ps // d
+        accum[..., None], coords // d, jnp.ones((batch_size,), accum.dtype),
+        coverage_footprint(ps, d),
     )
     accum = accum3[..., 0]
     filled_ratio = jnp.count_nonzero(accum) / accum.size
@@ -201,6 +188,11 @@ class FullImageRndSampler:
         self.dh = self.h // speedup
         self.dw = self.w // speedup
         print(f"Image {self.h} x {self.w} at {speedup}x -> {self.dh} x {self.dw}")
+        if self.h < patch_size or self.w < patch_size:
+            raise ValueError(
+                f"layer {layer} size {(self.h, self.w)} is smaller than "
+                f"patch_size {patch_size}"
+            )
         self.patch_size = patch_size
         self.batch_size = batch_size
         self._downscale = speedup
@@ -216,7 +208,13 @@ class FullImageRndSampler:
     def _device_generator(self):
         accum = jnp.zeros((self.dh, self.dw), jnp.float32)
         filled = 0.0
-        while filled < 1.0:
+        # safety bound: ~4x the batches full coverage needs at dense_level
+        f = coverage_footprint(self.patch_size, self._downscale)
+        per_step = self.batch_size * f * f
+        max_steps = int(4 * self.dense_level * self.dh * self.dw / max(per_step, 1)) + 64
+        steps = 0
+        while filled < 1.0 and steps < max_steps:
+            steps += 1
             self._key, sub = jax.random.split(self._key)
             if self._on_device:
                 accum, patches, coords, fr = _rnd_step(
@@ -320,6 +318,11 @@ class FullImageDenseSampler:
         data, (self.h, self.w) = _load_layer(psimage_path, layer, mmap_ok=ondisk)
         self.data = data
         self._image_dev, self._on_device = _stage(data, ondisk)
+        if self.h < patch_size or self.w < patch_size:
+            raise ValueError(
+                f"layer {layer} size {(self.h, self.w)} is smaller than "
+                f"patch_size {patch_size}"
+            )
         self.patch_size = patch_size
         self.batch_size = batch_size
         self.stride = stride if stride is not None else patch_size

@@ -76,6 +76,14 @@ def make_multimag_sample_fn(region_sampler, mm_bank: MultiMagBank, n: int):
     """Pure ``key -> (patches_3L_u8, labels, coords, img_idx)`` combining the
     region sampler's coordinate generation with multi-magnification gathering;
     embeddable in the fused training epoch."""
+    host_layers = [l for l, b in mm_bank.banks.items() if not b.on_device]
+    if host_layers:
+        raise ValueError(
+            f"multi-mag layers {host_layers} exceeded the device budget; the "
+            "fused multi-mag sample fn requires all magnification banks "
+            "resident in HBM (reduce layers or raise "
+            "DEEPHISTO_DEVICE_SLIDE_BUDGET)"
+        )
     coord_fn = region_sampler.make_sample_fn(n, gather=False)
     ps = region_sampler.patch_size
     base_layer = region_sampler.layer

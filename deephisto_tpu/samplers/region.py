@@ -307,6 +307,22 @@ class AnnoRegionRndSampler:
 
     # -- the jitted sampling step -------------------------------------------
 
+    def _check_forced_cls(self, forced_cls: int | None):
+        """Forcing a class with zero feasible regions would degenerate the
+        region categorical (all -inf logits -> arbitrary region of any class,
+        i.e. silently mislabeled patches). Fail loudly instead."""
+        if forced_cls is None:
+            return
+        feas = self.table.feasible & (
+            np.asarray(self.table.class_idx) == forced_cls
+        )
+        if not feas.any():
+            raise ValueError(
+                f"class {forced_cls} ({self.classes[forced_cls]}) has no "
+                f"feasible regions for patch_size={self.patch_size} at "
+                f"intersection {self.region_intersection}"
+            )
+
     def make_sample_fn(self, n: int, forced_cls: int | None = None, gather: bool = True):
         """A pure function ``key -> (patches_u8, labels, coords, img_idx)``
         closing over the region table, weight matrices, and the slide bank as
@@ -314,6 +330,14 @@ class AnnoRegionRndSampler:
         training epoch, fused random predict). With ``gather=False`` the
         returned function yields ``(labels, coords, img_idx)`` only, for
         callers that gather differently (e.g. multi-magnification banks)."""
+        self._check_forced_cls(forced_cls)
+        if gather and not self.bank.on_device:
+            raise ValueError(
+                "make_sample_fn(gather=True) requires a device-resident "
+                "SlideBank; this bank exceeded the HBM budget. Use "
+                "gather=False and gather on host, or the generator APIs "
+                "which handle host mode."
+            )
         t = self.table
 
         def fn(key):
@@ -419,6 +443,7 @@ class AnnoRegionRndSampler:
         """One device batch: (patches_u8, labels, coords, image_idx). When the
         slide bank exceeds the HBM budget (host mode), coordinates come from
         the device step and patches from the native host extractor."""
+        self._check_forced_cls(forced_cls)
         self._key, sub = jax.random.split(self._key)
         if self.bank.on_device:
             fn = self._get_step(n, forced_cls)

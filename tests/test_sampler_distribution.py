@@ -137,3 +137,27 @@ def test_one_image_mode_skips_infeasible_images(tmp_path):
         for patch, _ in batch:
             # only the good slide's region can host valid patches
             assert 50 <= patch.pos_x <= 306 and 50 <= patch.pos_y <= 306
+
+
+def test_forced_infeasible_class_raises(tmp_path):
+    """Regression (review finding): forcing a class whose regions are all too
+    small used to silently emit other classes' patches under the forced label."""
+    root = tmp_path / "forced"
+    img_dir = root / "images" / "train"
+    anno_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    img = np.full((512, 512, 3), 200, dtype=np.uint8)
+    write_dhs(img, img_dir / "s.dhs", max_layer=2)
+    annos = [
+        {"class": "A", "vertices": [[50.0, 50.0], [300.0, 50.0], [300.0, 300.0], [50.0, 300.0]]},
+        {"class": "B", "vertices": [[400.0, 400.0], [420.0, 400.0], [420.0, 420.0], [400.0, 420.0]]},
+    ]
+    (anno_dir / "s.json").write_text(json.dumps(annos))
+    s = AnnoRegionRndSampler(
+        [(img_dir / "s.dhs", anno_dir / "s.json")], layer=1, patch_size=64,
+        verbose=False,
+    )
+    # class B (idx 1) has only a 20x20 region → infeasible for ps=64
+    with pytest.raises(ValueError, match="no.*feasible|feasible"):
+        next(s.jax_generator(4, 1, cls_idx=1))

@@ -194,3 +194,29 @@ def test_ondisk_mode_uses_mmap(tmp_path):
         np.testing.assert_array_equal(
             pt.data, arr[pt.pos_y : pt.pos_y + PS, pt.pos_x : pt.pos_x + PS]
         )
+
+
+def test_rnd_coverage_terminates_on_awkward_sizes():
+    """Regression (review finding): patch/speedup remainders used to leave
+    unreachable accumulator cells and the coverage loop spun forever."""
+    rng2 = np.random.default_rng(2)
+    # 1010 % 16 = 2 < 100 % 16 = 4 → old footprint left the last row unreachable
+    arr = rng2.integers(0, 255, (1010, 1010, 3), dtype=np.uint8)
+    s = FullImageRndSampler(
+        ArraySlide(arr, max_layer=1), layer=1, patch_size=100, batch_size=32,
+        speedup=16,
+    ).seed(0)
+    last = 0.0
+    for _, filled in s.generator():
+        last = filled
+    assert last >= 1.0
+
+    # patch smaller than speedup (footprint used to be 0 → filled stuck at 0)
+    s2 = FullImageRndSampler(
+        ArraySlide(arr[:256, :256], max_layer=1), layer=1, patch_size=8,
+        batch_size=64, speedup=16,
+    ).seed(0)
+    last = 0.0
+    for _, filled in s2.generator():
+        last = filled
+    assert last >= 1.0
