@@ -13,10 +13,24 @@ import jax.numpy as jnp
 from ...models.resnet import build_resnet, load_torchvision_weights
 
 
-def get_model(n_classes: int, depth: int = 18, dtype=jnp.bfloat16, stem: str = "imagenet"):
-    """ResNet backbone with an ``n_classes`` head. ``depth`` selects the
-    backbone swap (18 default; 50 for the larger configuration); ``stem="s2d"``
-    enables the TPU space-to-depth stem for from-scratch training."""
+def get_model(
+    n_classes: int,
+    depth: int = 18,
+    dtype=jnp.bfloat16,
+    stem: str = "imagenet",
+    arch: str = "resnet",
+):
+    """Classifier backbone with an ``n_classes`` head.
+
+    arch="resnet" (default): ``depth`` selects the backbone swap (18/34/50/101);
+    ``stem="s2d"`` enables the TPU space-to-depth stem for from-scratch runs.
+    arch="vit": compact Vision Transformer whose attention runs through the
+    Pallas flash-attention kernel on TPU (depth selects transformer depth).
+    """
+    if arch == "vit":
+        from ...models.vit import ViT
+
+        return ViT(num_classes=n_classes, depth=depth if depth <= 12 else 6, dtype=dtype)
     return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype, stem=stem)
 
 

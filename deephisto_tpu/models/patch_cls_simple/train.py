@@ -283,12 +283,13 @@ def train(cfg, resume: bool = False, mesh=None):
         n_classes,
         depth=cfg["model"].get("depth", 18),
         stem=cfg["model"].get("stem", "imagenet"),
+        arch=cfg["model"].get("arch", "resnet"),
     )
     variables = init_model(
         model,
         input_size=cfg["dataset"]["patch_size"],
         in_channels=in_channels,
-        pretrained=in_channels == 3,
+        pretrained=in_channels == 3 and cfg["model"].get("arch", "resnet") == "resnet",
     )
     state = create_train_state(model, variables, cfg["training"]["lr"])
 
@@ -405,9 +406,21 @@ def train(cfg, resume: bool = False, mesh=None):
             test_accuracies.append(test_acc)
             print(f"Test Loss: {test_loss:.4f}, Test Acc: {test_acc:.4f}")
 
-        # ---- plots + resume checkpoint ----
+        # ---- plots + metrics log + resume checkpoint ----
         save_plot(train_losses, val_losses, test_losses, "Loss", "loss.jpg", out_dir)
         save_plot(train_accuracies, val_accuracies, test_accuracies, "Acc", "acc.jpg", out_dir)
+        metrics_csv = out_dir / "metrics.csv"
+        if not metrics_csv.exists() or (epoch == start_epoch and not resume):
+            metrics_csv.write_text(
+                "epoch,train_loss,train_acc,val_loss,val_acc,test_loss,test_acc,lr,patches_per_s\n"
+            )
+        t_loss = test_losses[-1] if test_losses else ""
+        t_acc = test_accuracies[-1] if test_accuracies else ""
+        with metrics_csv.open("a") as f:
+            f.write(
+                f"{epoch + 1},{train_loss:.6f},{train_acc:.6f},{val_loss:.6f},"
+                f"{val_acc:.6f},{t_loss},{t_acc},{scheduler.lr:.2e},{total / dt:.0f}\n"
+            )
         save_train_state(
             last_ckpt,
             state,

@@ -1,0 +1,135 @@
+"""Vision Transformer patch classifier (second model family, TPU-native).
+
+A framework extension beyond the reference's single ResNet family: a compact
+ViT whose attention runs through JAX's official **Pallas flash-attention
+kernel** (`jax.experimental.pallas.ops.tpu.flash_attention`) on TPU — the
+tiled online-softmax kernel that never materializes the (N, N) score matrix —
+with a plain jnp attention fallback elsewhere (CPU test meshes).
+
+Architecture: conv patch-embedding (16px tokens), pre-LN transformer blocks,
+mean pooling, linear head. bf16 compute, f32 params, NHWC input like every
+other model here, so the samplers/fused-epoch/predict pipelines work
+unchanged (``get_model(..., arch='vit')``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _attention(q, k, v, use_flash: bool):
+    """(B, H, N, Dh) attention; Pallas flash kernel on TPU, jnp elsewhere.
+
+    Flash-attention block sizes need the sequence padded to the block grid; we
+    pad N up to a multiple of 128 with zero tokens and mask them out of the
+    softmax via an additive bias (ab).
+    """
+    scale = q.shape[-1] ** -0.5
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        b, h, n, dh = q.shape
+        n_pad = (-n) % 128
+        if n_pad:
+            pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+            qp = jnp.pad(q, pad)
+            kp = jnp.pad(k, pad)
+            vp = jnp.pad(v, pad)
+            # mask padded keys out of every query's softmax
+            ab = jnp.zeros((b, h, n + n_pad, n + n_pad), jnp.float32)
+            ab = ab.at[:, :, :, n:].set(-1e9)
+            out = flash_attention(qp, kp, vp, ab=ab, causal=False, sm_scale=scale)
+            return out[:, :, :n, :]
+        return flash_attention(q, k, v, causal=False, sm_scale=scale)
+
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+class MHA(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, d = x.shape
+        dh = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = _attention(q, k, v, use_flash=_on_tpu())
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        x = x + MHA(self.dim, self.heads, self.dtype, name="attn")(y)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """Compact ViT for patch classification."""
+
+    num_classes: int
+    patch: int = 16
+    dim: int = 384
+    depth: int = 6
+    heads: int = 6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.dim,
+            (self.patch, self.patch),
+            (self.patch, self.patch),
+            dtype=self.dtype,
+            name="embed",
+        )(x)
+        b, gh, gw, d = x.shape
+        x = x.reshape(b, gh * gw, d)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, gh * gw, self.dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = Block(self.dim, self.heads, dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        x = jnp.mean(x, axis=1)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x).astype(
+            jnp.float32
+        )
+
+
+ViTSmall = partial(ViT, dim=384, depth=6, heads=6)
+ViTBase = partial(ViT, dim=768, depth=12, heads=12)
