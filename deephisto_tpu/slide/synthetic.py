@@ -72,10 +72,16 @@ def _class_texture(
     # low-frequency lighting variation
     yy = np.linspace(0, 2 * np.pi * rng.uniform(0.5, 2.0), h, dtype=np.float32)
     xx = np.linspace(0, 2 * np.pi * rng.uniform(0.5, 2.0), w, dtype=np.float32)
-    wave = 10.0 * np.outer(np.sin(yy + rng.uniform(0, 6)), np.cos(xx + rng.uniform(0, 6)))
+    wave = np.float32(10.0) * np.outer(
+        np.sin(yy + np.float32(rng.uniform(0, 6))),
+        np.cos(xx + np.float32(rng.uniform(0, 6))),
+    )
     img += wave[..., None]
-    # white-noise grain
-    img += rng.normal(0, 9.0, size=(h, w, 3)).astype(np.float32)
+    # white-noise grain — float32 end-to-end (float64 here costs gigabytes of
+    # allocation+conversion on gigapixel slides)
+    noise = rng.standard_normal(size=(h, w, 3), dtype=np.float32)
+    noise *= np.float32(9.0)
+    img += noise
     # class-specific speckle: darker blobs with density keyed to the class index
     density = {"AT": 4e-4, "BG": 2e-5, "LP": 1.2e-3, "MM": 2.5e-3, "TUM": 4e-3}[cls]
     n_spots = int(h * w * density)
