@@ -699,6 +699,15 @@ def extract_and_save_subset(
     batch_size = 4
     out_folder = Path(out_folder)
     for cls_idx, cls in enumerate(sampler.classes):
+        try:
+            sampler._check_forced_cls(cls_idx)
+        except ValueError as e:
+            # skip-and-report tolerance (the reference's failure semantics,
+            # SURVEY.md §5): a class whose regions can't host a patch at this
+            # intersection yields an empty folder instead of aborting the run
+            print(f"skipping class {cls}: {e}")
+            (out_folder / str(cls_idx)).mkdir(parents=True, exist_ok=True)
+            continue
         (out_folder / str(cls_idx)).mkdir(parents=True, exist_ok=True)
         n = patches_per_class // batch_size
         g = sampler.structs_generator(

@@ -161,3 +161,31 @@ def test_forced_infeasible_class_raises(tmp_path):
     # class B (idx 1) has only a 20x20 region → infeasible for ps=64
     with pytest.raises(ValueError, match="no.*feasible|feasible"):
         next(s.jax_generator(4, 1, cls_idx=1))
+
+
+def test_extract_skips_infeasible_class(tmp_path):
+    """extract_and_save_subset must skip (not abort on) classes that cannot
+    host a patch at the extraction intersection."""
+    from deephisto_tpu.samplers import extract_and_save_subset
+
+    root = tmp_path / "skip"
+    img_dir = root / "images" / "test"
+    anno_dir = root / "annotations" / "test"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    img = np.full((512, 512, 3), 180, dtype=np.uint8)
+    write_dhs(img, img_dir / "s.dhs", max_layer=2)
+    annos = [
+        {"class": "BIG", "vertices": [[50.0, 50.0], [400.0, 50.0], [400.0, 400.0], [50.0, 400.0]]},
+        {"class": "TINY", "vertices": [[450.0, 450.0], [460.0, 450.0], [460.0, 460.0], [450.0, 460.0]]},
+    ]
+    (anno_dir / "s.json").write_text(json.dumps(annos))
+    out = extract_and_save_subset(
+        img_anno_paths=[(img_dir / "s.dhs", anno_dir / "s.json")],
+        out_folder=tmp_path / "patches",
+        patch_size=64,
+        layer=1,
+        patches_per_class=4,
+    )
+    assert len(list((out / "0").glob("*.jpg"))) == 4  # BIG extracted
+    assert (out / "1").exists() and not list((out / "1").glob("*.jpg"))  # TINY skipped
