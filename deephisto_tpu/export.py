@@ -30,7 +30,7 @@ def export_classifier(
     def infer(patches_u8):
         x = patches_u8.astype(dtype) / jnp.asarray(255.0, dtype)
         return model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
             x,
             train=False,
         )

@@ -30,7 +30,12 @@ def get_model(
     if arch == "vit":
         from ...models.vit import ViT
 
-        return ViT(num_classes=n_classes, depth=depth if depth <= 12 else 6, dtype=dtype)
+        if not 1 <= depth <= 12:
+            raise ValueError(
+                f"arch='vit' supports depth 1..12 transformer blocks, got "
+                f"{depth}; set model.depth explicitly for ViT configs"
+            )
+        return ViT(num_classes=n_classes, depth=depth, dtype=dtype)
     return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype, stem=stem)
 
 

@@ -340,14 +340,15 @@ def train(cfg, resume: bool = False, mesh=None):
         k_train, k_val = jax.random.split(jax.random.fold_in(base_key, epoch))
         state, losses, corrects = fused_epoch(state, k_train)
         train_loss = float(jnp.mean(losses))
-        total = train_steps * batch_size
-        train_acc = int(jnp.sum(corrects)) / total
+        n_train_patches = train_steps * batch_size
+        train_acc = int(jnp.sum(corrects)) / n_train_patches
         train_losses.append(train_loss)
         train_accuracies.append(train_acc)
         dt = time.time() - t0
+        train_pps = n_train_patches / dt
         print(
             f"Epoch {epoch + 1}/{cfg['training']['n_epochs']} "
-            f"({total / dt:.0f} patches/s)"
+            f"({train_pps:.0f} patches/s)"
         )
         print(f"Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.4f}")
 
@@ -394,10 +395,13 @@ def train(cfg, resume: bool = False, mesh=None):
                 correct += int((preds == labs[:valid]).sum())
                 total += valid
                 # per-sample CE over the REAL samples only (padding the last
-                # batch must not bias the reported loss)
-                lse = np.log(np.exp(logits_np[:valid]).sum(-1))
+                # batch must not bias the reported loss); max-subtracted for
+                # float32 stability at confident logits
+                lv = logits_np[:valid]
+                m = lv.max(-1, keepdims=True)
+                lse = (m[:, 0] + np.log(np.exp(lv - m).sum(-1)))
                 test_loss += float(
-                    (lse - logits_np[np.arange(valid), labs[:valid]]).sum()
+                    (lse - lv[np.arange(valid), labs[:valid]]).sum()
                 )
                 n_b += 1
             test_loss /= max(total, 1)
@@ -419,7 +423,7 @@ def train(cfg, resume: bool = False, mesh=None):
         with metrics_csv.open("a") as f:
             f.write(
                 f"{epoch + 1},{train_loss:.6f},{train_acc:.6f},{val_loss:.6f},"
-                f"{val_acc:.6f},{t_loss},{t_acc},{scheduler.lr:.2e},{total / dt:.0f}\n"
+                f"{val_acc:.6f},{t_loss},{t_acc},{scheduler.lr:.2e},{train_pps:.0f}\n"
             )
         save_train_state(
             last_ckpt,

@@ -38,7 +38,10 @@ def _attention(q, k, v, use_flash: bool):
     """
     scale = q.shape[-1] ** -0.5
     if use_flash:
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
 
         b, h, n, dh = q.shape
         n_pad = (-n) % 128
@@ -47,10 +50,16 @@ def _attention(q, k, v, use_flash: bool):
             qp = jnp.pad(q, pad)
             kp = jnp.pad(k, pad)
             vp = jnp.pad(v, pad)
-            # mask padded keys out of every query's softmax
-            ab = jnp.zeros((b, h, n + n_pad, n + n_pad), jnp.float32)
-            ab = ab.at[:, :, :, n:].set(-1e9)
-            out = flash_attention(qp, kp, vp, ab=ab, causal=False, sm_scale=scale)
+            # segment ids mask the pad tokens out of the real tokens' softmax
+            # (pads attend among themselves; their rows are sliced off) at
+            # O(N) memory — a dense additive bias would re-materialize the
+            # (N, N) score matrix the flash kernel exists to avoid
+            ids = (jnp.arange(n + n_pad) >= n).astype(jnp.int32)
+            ids = jnp.broadcast_to(ids[None], (b, n + n_pad))
+            seg = SegmentIds(q=ids, kv=ids)
+            out = flash_attention(
+                qp, kp, vp, segment_ids=seg, causal=False, sm_scale=scale
+            )
             return out[:, :, :n, :]
         return flash_attention(q, k, v, causal=False, sm_scale=scale)
 

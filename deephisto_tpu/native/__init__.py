@@ -88,6 +88,11 @@ def extract_patches_native(
     """Parallel host patch extraction from an HWC uint8 layer (works on
     memory-mapped arrays)."""
     img = image if image.flags["C_CONTIGUOUS"] else np.ascontiguousarray(image)
+    if img.shape[0] < patch_size or img.shape[1] < patch_size:
+        raise ValueError(
+            f"layer {img.shape[:2]} smaller than patch_size {patch_size}; the "
+            "native extractor cannot read past the mapping"
+        )
     # defensive clamp (fresh writable copy): OOB coords would make the C++
     # memcpy read outside the mapping (garbage or SIGSEGV on mmap'd layers)
     c = np.array(coords, dtype=np.int32, copy=True)

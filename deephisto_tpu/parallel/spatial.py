@@ -124,7 +124,7 @@ def predict_full_spatial(
             patches = gather_patches_xla(band_img, local, ps)
             x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             logits = model.apply(
-                {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+                {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
                 x,
                 train=False,
             )

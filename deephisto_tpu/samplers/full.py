@@ -233,6 +233,12 @@ class FullImageRndSampler:
             filled = float(fr)
             self._filled_ratio.append(filled)
             yield patches, coords, filled
+        if filled < 1.0:
+            print(
+                f"warning: coverage loop stopped at filled={filled:.4f} after "
+                f"{steps} batches (max_steps={max_steps}) without reaching "
+                "full coverage — prediction maps may be incomplete"
+            )
         self._accum = np.asarray(accum)
 
     def generator(self) -> Iterator[tuple[list[Patch], float]]:
