@@ -35,9 +35,13 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # one cache per platform: CPU AOT executables compiled by a remote
+        # helper carry target features the local host may lack (SIGILL risk
+        # if a TPU-session CPU artifact is loaded by a plain-CPU session)
+        platform = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
         cache_dir = os.environ.get(
             "DEEPHISTO_COMPILE_CACHE",
-            os.path.expanduser("~/.cache/deephisto_tpu/jax_cache"),
+            os.path.expanduser(f"~/.cache/deephisto_tpu/jax_cache_{platform}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
