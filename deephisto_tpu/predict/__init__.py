@@ -8,6 +8,7 @@ from .full_patched import (
     process_on_device,
 )
 from .pipeline import dense_coords, predict_full_fused, predict_full_random_fused
+from .streaming import predict_full_streamed
 
 __all__ = [
     "ImagePredictorPatched",
@@ -17,5 +18,6 @@ __all__ = [
     "perform_and_save_visualizations",
     "predict_full_fused",
     "predict_full_random_fused",
+    "predict_full_streamed",
     "process_on_device",
 ]

