@@ -548,9 +548,11 @@ class AnnoRegionRndSampler:
         for feats, labels, coords in self.jax_generator(
             batch_size, n_batches, cls_idx=cls_idx
         ):
-            f = torch.from_numpy(np.asarray(feats))
-            l = torch.from_numpy(np.asarray(labels)).to(torch.int64)
-            c = torch.from_numpy(np.asarray(coords))
+            # np.array copies: jax device buffers are read-only and torch
+            # rejects non-writable backing arrays
+            f = torch.from_numpy(np.array(feats))
+            l = torch.from_numpy(np.array(labels)).to(torch.int64)
+            c = torch.from_numpy(np.array(coords))
             if transforms is not None:
                 f = transforms(f)
             yield f, l, c
@@ -570,9 +572,9 @@ class AnnoRegionRndSampler:
                     for feats, labels, coords in sampler.jax_generator(
                         sampler.patches_from_one_region, 1
                     ):
-                        f = torch.from_numpy(np.asarray(feats))
-                        l = torch.from_numpy(np.asarray(labels)).to(torch.int64)
-                        c = torch.from_numpy(np.asarray(coords))
+                        f = torch.from_numpy(np.array(feats))
+                        l = torch.from_numpy(np.array(labels)).to(torch.int64)
+                        c = torch.from_numpy(np.array(coords))
                         for i in range(f.shape[0]):
                             yield f[i], l[i], c[i]
 
