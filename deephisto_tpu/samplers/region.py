@@ -644,6 +644,27 @@ class AnnoRegionDenseSampler:
         ok = areas > ps * ps * self.region_intersection
         return cand[ok].astype(np.int32)
 
+    def all_coords(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Every qualifying patch of the dense pass, precomputed:
+        (coords (N, 2), labels (N,), image_idx (N,)) in the reference's
+        class-by-class, region-by-region order."""
+        coords_l, labels_l, imgs_l = [], [], []
+        for cls_idx, cls in enumerate(self.classes):
+            for reg in self.regions[cls]:
+                c = self._region_coords(reg)
+                if len(c):
+                    coords_l.append(c)
+                    labels_l.append(np.full((len(c),), cls_idx, dtype=np.int32))
+                    imgs_l.append(np.full((len(c),), reg.image_idx, dtype=np.int32))
+        if not coords_l:
+            z = np.zeros((0,), np.int32)
+            return np.zeros((0, 2), np.int32), z, z
+        return (
+            np.concatenate(coords_l),
+            np.concatenate(labels_l),
+            np.concatenate(imgs_l),
+        )
+
     def structs_generator(self) -> Iterator[tuple[Patch, int]]:
         """Yield every qualifying (Patch, class_idx), class by class, region by
         region (reference region_samplers.py:866-871), gathering from the
@@ -667,6 +688,32 @@ class AnnoRegionDenseSampler:
                             ),
                             cls_idx,
                         )
+
+    def jax_generator(self, batch_size: int, dtype=jnp.float32):
+        """Device-resident batched pass over every qualifying patch:
+        yields (features, labels, coords) with the last batch padded by
+        repeating the final patch (same rule as the full dense sampler,
+        reference full_samplers.py:400-402)."""
+        coords, labels, img_idx = self.all_coords()
+        n = len(coords)
+        if n == 0:
+            return
+        pad = (-n) % batch_size
+        if pad:
+            coords = np.concatenate([coords, np.repeat(coords[-1:], pad, 0)])
+            labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+            img_idx = np.concatenate([img_idx, np.repeat(img_idx[-1:], pad)])
+        for s in range(0, len(coords), batch_size):
+            patches = self.bank.gather(
+                img_idx[s : s + batch_size], coords[s : s + batch_size],
+                self.patch_size,
+            )
+            feats = patches.astype(dtype) / jnp.asarray(255.0, dtype)
+            yield (
+                feats,
+                jnp.asarray(labels[s : s + batch_size]),
+                jnp.asarray(coords[s : s + batch_size], dtype=jnp.float32),
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -259,3 +259,22 @@ def test_rnd_sampler_host_mode_bank(synthetic_dataset_module):
                 for reg in s.regions[cls]
             )
             assert best > PS * PS * s.region_intersection
+
+
+def test_dense_sampler_jax_generator_matches_structs(synthetic_dataset_module):
+    """The batched device pass must cover exactly the structs_generator's
+    patches, in order, with the /255 contract."""
+    pairs = get_img_ano_paths(synthetic_dataset_module, "train")
+    s = AnnoRegionDenseSampler(
+        pairs, layer=LAYER, patch_size=PS, stride=PS, verbose=False
+    )
+    ref = [(p.pos_y, p.pos_x, cls) for p, cls in s.structs_generator()]
+    got = []
+    for feats, labels, coords in s.jax_generator(batch_size=16):
+        assert feats.shape[1:] == (PS, PS, 3)
+        assert float(feats.max()) <= 1.0
+        for i in range(feats.shape[0]):
+            got.append((int(coords[i, 0]), int(coords[i, 1]), int(labels[i])))
+    # last batch padded by repeating the final patch
+    assert got[: len(ref)] == ref
+    assert all(g == ref[-1] for g in got[len(ref) :])
