@@ -1,6 +1,8 @@
 """Example of using AnnoRegionDenseSampler (mirror of reference
-examples/sample_annotated_dense.py: total patches + items/s + per-class counts)."""
+examples/sample_annotated_dense.py: total patches + items/s + per-class
+counts). ``--jax`` runs the batched device pass instead of per-patch structs."""
 
+import argparse
 import time
 
 import numpy as np
@@ -10,6 +12,9 @@ from examples._dataset import example_dataset
 from utils import get_img_ano_paths
 
 if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--jax", action="store_true", help="batched device pass")
+    args = parser.parse_args()
     img_anno_paths = get_img_ano_paths(example_dataset(), sample="test")
 
     dataset = AnnoRegionDenseSampler(
@@ -23,9 +28,15 @@ if __name__ == "__main__":
     t0 = time.time()
     count = np.zeros([len(dataset.classes)], dtype=np.int32)
 
-    print("Generating batches of structs")
-    for i, (patch, cls) in enumerate(dataset.structs_generator()):
-        count[cls] += 1
+    if args.jax:
+        print("Generating device-resident batches")
+        for feats, labels, coords in dataset.jax_generator(batch_size=64):
+            for cl in np.asarray(labels).tolist():
+                count[int(cl)] += 1
+    else:
+        print("Generating batches of structs")
+        for i, (patch, cls) in enumerate(dataset.structs_generator()):
+            count[cls] += 1
 
     t1 = time.time()
 
