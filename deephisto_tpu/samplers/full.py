@@ -21,6 +21,7 @@ while its dense sampler applied it (:441-443).
 from __future__ import annotations
 
 import functools
+import os
 from enum import Enum
 from pathlib import Path
 from typing import Iterable, Iterator
@@ -47,7 +48,7 @@ class SamplerExecutionMode(Enum):
 
 
 DEVICE_SLIDE_BUDGET = int(
-    float(__import__("os").environ.get("DEEPHISTO_DEVICE_SLIDE_BUDGET", 12 << 30))
+    float(os.environ.get("DEEPHISTO_DEVICE_SLIDE_BUDGET", 12 << 30))
 )
 
 
