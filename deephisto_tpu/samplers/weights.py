@@ -74,7 +74,12 @@ def calc_weights(
                 for rpi in regions_per_image
             ]
         )
-        img_weights[cls] = a / a.sum()
+        total = a.sum()
+        # degenerate (no area anywhere) → uniform; the sampler rejects empty
+        # datasets downstream with a clear error
+        img_weights[cls] = a / total if total > 0 else np.full_like(
+            a, 1.0 / max(len(a), 1), dtype=np.float64
+        )
 
     all_regs_areas_per_image = [
         sum(sum(r.area for r in lst) for lst in rpi.values())
