@@ -28,8 +28,10 @@ def area_weights(areas, area_influence: float) -> np.ndarray:
     assert -1 <= area_influence <= 1
     areas = np.asarray(areas, dtype=np.float64)
     n = len(areas)
-    w_default = np.full(n, 1.0 / n)
-    if area_influence == 0:
+    w_default = np.full(n, 1.0 / n) if n else np.zeros(0)
+    if area_influence == 0 or n == 0 or areas.sum() <= 0 or (areas <= 0).any():
+        # degenerate inputs (empty, zero or non-positive areas) fall back to
+        # uniform — proportional/inverse blending is undefined for them
         return w_default
     if area_influence > 0:
         w_prop = areas / areas.sum()
