@@ -28,12 +28,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _measure(fn, warmup=1, reps=3):
+    """Best-of-N: host/tunnel scheduling noise varies wall-clock by ±30%, and
+    the steady-state capability is what these metrics measure."""
     for _ in range(warmup):
         fn()
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / reps
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def bench_region_sampling(results):
