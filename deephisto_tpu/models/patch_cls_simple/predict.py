@@ -33,7 +33,12 @@ def load_image(image_path: Path | str, patch_size: int = 224) -> np.ndarray:
 
 def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None = None) -> int:
     cfg = cfg or load_config(CONFIG_PATH)
-    model = get_model(cfg["model"]["n_classes"], depth=cfg["model"].get("depth", 18))
+    model = get_model(
+        cfg["model"]["n_classes"],
+        depth=cfg["model"].get("depth", 18),
+        stem=cfg["model"].get("stem", "imagenet"),
+        arch=cfg["model"].get("arch", "resnet"),
+    )
     variables = load_weights(weights_path)
     img = load_image(image_path, cfg["dataset"]["patch_size"])
     x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0  # match training
@@ -46,13 +51,23 @@ def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None =
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    if not argv:
-        print("usage: python -m models.patch_cls_simple.predict <image> [weights]")
-        raise SystemExit(2)
-    image_path = argv[0]
-    weights = argv[1] if len(argv) > 1 else "./output/best_model.msgpack"
-    cls = predict(image_path, weights)
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Classify one patch image with the trained model."
+    )
+    parser.add_argument("image", help="path to the patch image")
+    parser.add_argument(
+        "weights", nargs="?", default="./output/best_model.msgpack",
+        help="checkpoint path (default ./output/best_model.msgpack)",
+    )
+    parser.add_argument(
+        "--config", default=None,
+        help="model config YAML (to load s2d-stem / ViT checkpoints)",
+    )
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(args.config) if args.config else None
+    cls = predict(args.image, args.weights, cfg)
     print(f"Predicted Class: {cls}")
 
 

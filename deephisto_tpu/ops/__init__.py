@@ -8,7 +8,7 @@ from .gather import (
     gather_patches_xla,
 )
 from .sampling import categorical, gumbel_topk, log_weights, uniform_int
-from .stitch import accumulate_coverage, scatter_add_map
+from .stitch import accumulate_coverage, scatter_add_map, scatter_add_map_exact
 
 __all__ = [
     "accumulate_coverage",

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.gather import gather_patches_xla
-from ..ops.stitch import map_footprint, scatter_add_map
+from ..ops.stitch import scatter_add_map_exact
 from .mesh import DATA_AXIS
 
 
@@ -129,7 +129,7 @@ def predict_full_spatial(
                 train=False,
             )
             logits = jnp.where(valid[:, None], logits, 0.0)
-            pred_map = scatter_add_map(pred_map, coords // d, logits, map_footprint(ps, d))
+            pred_map = scatter_add_map_exact(pred_map, coords, logits, ps, d)
             return pred_map, None
 
         init = jnp.zeros((dh, dw, n_classes), jnp.float32)

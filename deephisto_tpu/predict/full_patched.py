@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..anno import AnnoDescription
-from ..ops.stitch import map_footprint, scatter_add_map
+from ..ops.stitch import map_footprint, scatter_add_map, scatter_add_map_exact
 from ..slide import Patch, Slide, open_slide
 
 
@@ -65,12 +65,12 @@ class ImagePredictorPatched:
         progress_bar = tqdm(total=100, desc="Predicting", unit="step", disable=not verbose)
         for patches, progress in self.patch_sampler:
             patch_preds = self.batch_predictor(patches)
-            f = map_footprint(patches[0].patch_size, d)
-            coords_ds = np.asarray(
-                [[p.pos_y // d, p.pos_x // d] for p in patches], dtype=np.int32
+            coords_raw = np.asarray(
+                [[p.pos_y, p.pos_x] for p in patches], dtype=np.int32
             )
-            prediction = scatter_add_map(
-                prediction, jnp.asarray(coords_ds), jnp.asarray(patch_preds), f
+            prediction = scatter_add_map_exact(
+                prediction, jnp.asarray(coords_raw), jnp.asarray(patch_preds),
+                patches[0].patch_size, d,
             )
             progress_bar.n = round(progress * 100, 2)
             progress_bar.refresh()
@@ -93,7 +93,6 @@ def process_on_device(
     d = downscale
     dh, dw = sampler.h // d, sampler.w // d
     ps = sampler.patch_size
-    f = map_footprint(ps, d)
 
     @jax.jit
     def step(pred_map, count_map, patches_u8, coords):
@@ -105,10 +104,9 @@ def process_on_device(
         )
         if softmax:
             logits = jax.nn.softmax(logits, axis=-1)
-        coords_ds = coords // d
-        pred_map = scatter_add_map(pred_map, coords_ds, logits, f)
-        count_map = scatter_add_map(
-            count_map, coords_ds, jnp.ones((coords.shape[0], 1)), f
+        pred_map = scatter_add_map_exact(pred_map, coords, logits, ps, d)
+        count_map = scatter_add_map_exact(
+            count_map, coords, jnp.ones((coords.shape[0], 1)), ps, d
         )
         return pred_map, count_map
 
@@ -185,12 +183,27 @@ def perform_and_save_visualizations(
     return paths
 
 
-def load_model(weights_path: Path | str, n_classes: int = 5, depth: int = 18):
+def load_model(
+    weights_path: Path | str,
+    n_classes: int = 5,
+    depth: int = 18,
+    stem: str = "imagenet",
+    arch: str = "resnet",
+    cfg: dict | None = None,
+):
     """Load the best-model checkpoint → (model, variables)
-    (reference predict_full_patched.py:116-126)."""
+    (reference predict_full_patched.py:116-126). Pass ``cfg`` (the training
+    config dict) so checkpoints trained with the s2d stem or a ViT arch
+    rebuild the matching module."""
     from ..models.patch_cls_simple.model import get_model
     from ..train.checkpoint import load_model as load_weights
 
-    model = get_model(n_classes, depth=depth)
+    if cfg is not None:
+        m = cfg["model"]
+        n_classes = m.get("n_classes", n_classes)
+        depth = m.get("depth", depth)
+        stem = m.get("stem", stem)
+        arch = m.get("arch", arch)
+    model = get_model(n_classes, depth=depth, stem=stem, arch=arch)
     variables = load_weights(weights_path)
     return model, variables

@@ -21,7 +21,12 @@ import numpy as np
 
 from ..ops.gather import gather_patches_xla
 from ..ops.sampling import coverage_cell_topk
-from ..ops.stitch import coverage_footprint, map_footprint, scatter_add_map
+from ..ops.stitch import (
+    coverage_footprint,
+    map_footprint,
+    scatter_add_map,
+    scatter_add_map_exact,
+)
 
 
 def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
@@ -49,6 +54,7 @@ def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
 def _predict_scan(
     image: jnp.ndarray,
     coords_batched: jnp.ndarray,  # (B, bs, 2) int32
+    valid_batched: jnp.ndarray,  # (B, bs) bool — False lanes contribute zero
     variables: dict,
     model,
     patch_size: int,
@@ -60,7 +66,6 @@ def _predict_scan(
     d = downscale
     dh = image.shape[0] // d
     dw = image.shape[1] // d
-    f = map_footprint(patch_size, d)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -71,7 +76,8 @@ def _predict_scan(
     else:
         data_sh = None
 
-    def step(pred_map, coords):
+    def step(pred_map, xs):
+        coords, valid = xs
         if data_sh is not None:
             # shard each batch's patches over the data axis: gather + forward
             # run data-parallel; the scatter-add into the replicated map gets
@@ -86,11 +92,13 @@ def _predict_scan(
         )
         if softmax:
             logits = jax.nn.softmax(logits, axis=-1)
-        pred_map = scatter_add_map(pred_map, coords // d, logits, f)
+        # padded lanes (last-batch fill) must not inflate their tile's scores
+        logits = jnp.where(valid[:, None], logits, 0.0)
+        pred_map = scatter_add_map_exact(pred_map, coords, logits, patch_size, d)
         return pred_map, None
 
     init = jnp.zeros((dh, dw, n_classes), jnp.float32)
-    pred_map, _ = jax.lax.scan(step, init, coords_batched)
+    pred_map, _ = jax.lax.scan(step, init, (coords_batched, valid_batched))
     return jnp.argmax(pred_map, axis=-1), pred_map
 
 
@@ -120,7 +128,6 @@ def _predict_random_while(
     mh, mw = h // downscale, w // downscale
     ps = patch_size
     f_cov = coverage_footprint(ps, speedup)
-    f_map = map_footprint(ps, downscale)
     pd2 = ps // speedup // 2
 
     def cond(carry):
@@ -144,7 +151,7 @@ def _predict_random_while(
             xin,
             train=False,
         )
-        pred = scatter_add_map(pred, coords // downscale, logits, f_map)
+        pred = scatter_add_map_exact(pred, coords, logits, ps, downscale)
 
         accum3 = scatter_add_map(
             accum[..., None], coords // speedup,
@@ -215,8 +222,9 @@ def predict_full_fused(
     """Dense full-WSI prediction in one device program.
 
     image: (H, W, 3) uint8 (device or host); returns (argmax_map, score_map).
-    The coord list is padded to full batches by repeating the last coord
-    (harmless duplicate adds, same trick as the dense sampler's last batch).
+    The coord list is padded to full batches by repeating the last coord with
+    zero-weighted lanes, so every real tile contributes exactly once (matches
+    the reference's scatter-add exactness, predict_full_patched.py:49-54).
     """
     image = jnp.asarray(image)
     h, w = int(image.shape[0]), int(image.shape[1])
@@ -224,12 +232,16 @@ def predict_full_fused(
     n = len(coords)
     n_b = -(-n // batch_size)
     pad = n_b * batch_size - n
+    valid = np.ones((n_b * batch_size,), dtype=bool)
     if pad:
         coords = np.concatenate([coords, np.repeat(coords[-1:], pad, axis=0)])
+        valid[n:] = False
     coords_batched = jnp.asarray(coords.reshape(n_b, batch_size, 2))
+    valid_batched = jnp.asarray(valid.reshape(n_b, batch_size))
     argmax_map, score_map = _predict_scan(
         image,
         coords_batched,
+        valid_batched,
         variables,
         model,
         patch_size,

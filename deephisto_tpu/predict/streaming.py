@@ -27,14 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
-from ..ops.stitch import map_footprint, scatter_add_map
+from ..ops.stitch import scatter_add_map_exact
 
 
 def _stripe_plan(h: int, patch_size: int, stride: int, target_rows: int):
     """Partition dense-coord rows into stripes: stripe k owns coords with
     y in [k*own, (k+1)*own) and needs rows [k*own, k*own + own + ps)."""
     own = max(stride, (target_rows // stride) * stride)
-    n_stripes = -(-max(h - patch_size, 1) // own)
+    # ownership covers y in [0, h-ps] INCLUSIVE — when (h-ps) is an exact
+    # multiple of `own`, the final dense row y=h-ps needs its own stripe or
+    # the bottom ~stride rows of the score map get zero contributions
+    n_stripes = -(-(max(h - patch_size, 0) + 1) // own)
     return own, n_stripes
 
 
@@ -64,7 +67,6 @@ def predict_full_streamed(
     stripe_h = own + ps  # rows staged per stripe (owned + patch overlap)
 
     dh, dw = h // d, w // d
-    f = map_footprint(ps, d)
 
     # per-stripe owned dense coords (global frame), equal batch counts so the
     # device program compiles once; dummy lanes repeat the stripe's first coord
@@ -105,7 +107,7 @@ def predict_full_streamed(
             if softmax:
                 logits = jax.nn.softmax(logits, axis=-1)
             logits = jnp.where(vld[:, None], logits, 0.0)
-            return scatter_add_map(pm, cds // d, logits, f), None
+            return scatter_add_map_exact(pm, cds, logits, ps, d), None
 
         cb = coords.reshape(n_b, batch_size, 2)
         vb = valid.reshape(n_b, batch_size)

@@ -379,7 +379,15 @@ class AnnoRegionRndSampler:
         k_img, k_cls, k_reg, k_trial, k_anchor = jax.random.split(key, 5)
 
         if one_image:
-            img = jax.random.categorical(k_img, logw_img_all)
+            img_logits = logw_img_all
+            if forced_cls is not None:
+                # the pinned image must have a feasible region of the forced
+                # class, or the region categorical would be degenerate (all
+                # NEG_INF logits tie to region 0 — a patch of an arbitrary
+                # class silently labeled as forced_cls). Global feasibility
+                # (_check_forced_cls) guarantees at least one image survives.
+                img_logits = img_logits + img_cls_available[:, forced_cls]
+            img = jax.random.categorical(k_img, img_logits)
             cls_logits = img_cls_available[img]  # (C,)
             logw_region = logw_img_cls_region[img]  # (C, R)
         else:

@@ -121,7 +121,7 @@ def test_fused_predict_data_parallel_matches_single():
         img, model, variables, n_classes=5, patch_size=ps, stride=ps,
         batch_size=16, downscale=16, mesh=mesh,
     )
-    assert (single == multi).mean() > 0.999
+    np.testing.assert_array_equal(single, multi)
 
 
 def test_spatial_sharded_predict_matches_single():
@@ -157,7 +157,5 @@ def test_spatial_sharded_predict_matches_single():
         img, model, variables, n_classes=5, mesh=mesh, patch_size=ps,
         stride=ps, batch_size=16, downscale=16,
     )
-    # the fused path double-adds its padded duplicate coords on the very last
-    # tile; everywhere else the maps must agree exactly
-    agree = (single == spatial).mean()
-    assert agree > 0.995, agree
+    # padded lanes are zero-masked in both paths — the maps must agree exactly
+    np.testing.assert_array_equal(single, spatial)

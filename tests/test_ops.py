@@ -66,6 +66,29 @@ def test_scatter_add_map_matches_host_loop():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_scatter_add_map_exact_matches_reference_span():
+    """Position-dependent footprint parity: the reference stitches each patch
+    over [y//d, (y+ps)//d) per axis (reference predict_full_patched.py:50-53)
+    — span varies with y % d when d does not divide ps."""
+    from deephisto_tpu.ops import scatter_add_map_exact
+
+    rng = np.random.default_rng(2)
+    dh, dw, C = 40, 50, 3
+    for ps, d in [(224, 16), (224, 15), (30, 4)]:
+        coords = rng.integers(0, 300, size=(24, 2)).astype(np.int32)
+        vals = rng.normal(size=(24, C)).astype(np.float32)
+        got = np.asarray(
+            scatter_add_map_exact(
+                jnp.zeros((dh, dw, C)), jnp.asarray(coords), jnp.asarray(vals), ps, d
+            )
+        )
+        want = np.zeros((dh, dw, C), np.float32)
+        for i in range(24):
+            y, x = coords[i]
+            want[y // d : (y + ps) // d, x // d : (x + ps) // d, :] += vals[i]
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"ps={ps} d={d}")
+
+
 def test_scatter_add_drops_out_of_range():
     out = scatter_add_map(
         jnp.zeros((8, 8, 1)),

@@ -166,10 +166,8 @@ def test_streamed_predict_matches_fused(slide, tiny_model):
         layer2, model, variables, n_classes=5, patch_size=PS, stride=PS,
         batch_size=BS, downscale=D, stripe_rows=160,  # force several stripes
     )
-    agree = (fused == streamed).mean()
-    # the fused path double-adds its padded duplicate coords on the final
-    # tile; the streamed path zero-weights padding instead
-    assert agree > 0.995, agree
+    # both paths zero-weight their padding lanes — exact agreement required
+    np.testing.assert_array_equal(fused, streamed)
 
 
 def test_streamed_predict_odd_sizes(tiny_model):
@@ -188,3 +186,29 @@ def test_streamed_predict_odd_sizes(tiny_model):
     # every dense coord contributed: total scatter mass equals patch count
     # (logits are finite; just sanity-check non-degenerate coverage)
     assert np.abs(np.asarray(score)).sum() > 0
+
+
+def test_streamed_predict_exact_stripe_boundary(tiny_model):
+    """When (h - patch_size) is an exact multiple of the stripe ownership size,
+    the final dense row must still be owned by exactly one stripe (round-1
+    advisor finding: the last ~stride rows got zero contributions)."""
+    from deephisto_tpu.predict import predict_full_streamed
+    from deephisto_tpu.predict.streaming import _stripe_plan
+
+    # directly check the plan: h-ps == own
+    ps, stride = PS, PS // 2
+    own = 160  # stripe_rows=160 -> own = (160//stride)*stride with stride=32 -> 160
+    h = ps + own
+    model, variables = tiny_model
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (h, 256, 3), dtype=np.uint8)
+
+    fused, _ = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=ps, stride=stride,
+        batch_size=8, downscale=D,
+    )
+    streamed, _ = predict_full_streamed(
+        img, model, variables, n_classes=5, patch_size=ps, stride=stride,
+        batch_size=8, downscale=D, stripe_rows=own,
+    )
+    np.testing.assert_array_equal(fused, streamed)

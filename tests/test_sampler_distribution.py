@@ -163,6 +163,43 @@ def test_forced_infeasible_class_raises(tmp_path):
         next(s.jax_generator(4, 1, cls_idx=1))
 
 
+def test_forced_cls_one_image_mode_picks_feasible_image(tmp_path):
+    """Regression (round-1 advisor finding): with one_image_for_batch=True and
+    a forced class, the pinned image must be drawn only from images that have
+    a feasible region of that class — previously an image without it produced
+    a degenerate region categorical and emitted an arbitrary class's patch
+    silently labeled as the forced class."""
+    root = tmp_path / "forced_one_image"
+    img_dir = root / "images" / "train"
+    anno_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    img = np.full((512, 512, 3), 200, dtype=np.uint8)
+    # slide "a": only class AT, region in x,y ∈ [300, 460]
+    # slide "b": only class TUM, region in x,y ∈ [50, 150]
+    for stem, cls, lo, hi in (("a", "AT", 300.0, 460.0), ("b", "TUM", 50.0, 150.0)):
+        write_dhs(img, img_dir / f"{stem}.dhs", max_layer=2)
+        (anno_dir / f"{stem}.json").write_text(
+            json.dumps([{"class": cls, "vertices": [[lo, lo], [hi, lo], [hi, hi], [lo, hi]]}])
+        )
+    pairs = [
+        (img_dir / "a.dhs", anno_dir / "a.json"),
+        (img_dir / "b.dhs", anno_dir / "b.json"),
+    ]
+    s = AnnoRegionRndSampler(
+        pairs, layer=1, patch_size=32, one_image_for_batch=True, seed=0,
+        verbose=False,
+    )
+    tum = s.classes.index("TUM")
+    for batch in s.structs_generator(batch_size=8, n_batches=6, cls_idx=tum):
+        for patch, cls in batch:
+            assert cls == tum
+            # only slide "b"'s TUM region can host these coords
+            assert 50 <= patch.pos_x <= 150 and 50 <= patch.pos_y <= 150, (
+                patch.pos_x, patch.pos_y,
+            )
+
+
 def test_extract_skips_infeasible_class(tmp_path):
     """extract_and_save_subset must skip (not abort on) classes that cannot
     host a patch at the extraction intersection."""
