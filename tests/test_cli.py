@@ -52,6 +52,7 @@ def test_cli_sample_annotated_rnd_jax(cli_env):
     assert "items/s" in out and "patches extracted for classes" in out
 
 
+@pytest.mark.slow
 def test_cli_train_and_predict_single_patch(cli_env, tmp_path):
     env, root = cli_env
     cfg = {

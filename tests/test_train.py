@@ -37,6 +37,7 @@ def tiny_cfg(tmp_path_factory):
     }
 
 
+@pytest.mark.slow
 def test_train_program_end_to_end(tiny_cfg):
     from deephisto_tpu.models.patch_cls_simple.train import prepare_test_patches, train
 
@@ -56,6 +57,7 @@ def test_train_program_end_to_end(tiny_cfg):
     assert (Path(tiny_cfg["training"]["save_dir"]) / "last_state.msgpack").exists()
 
 
+@pytest.mark.slow
 def test_train_resume_continues(tiny_cfg):
     from deephisto_tpu.models.patch_cls_simple.train import train
 
