@@ -17,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..geometry import is_simple_polygon, polygon_bounds, shoelace_area
+from ..geometry import is_simple_polygon, polygon_bounds, repair_polygon, shoelace_area
 from ..slide import Slide, open_slide
 
 
@@ -44,10 +44,12 @@ class RegionAnnotation:
             raise RuntimeError("Invalid region dtype. It should be float64.")
         v = self.vertices if self.layer == 1 else self.vertices / self.layer
         if not is_simple_polygon(v):
-            # the reference repairs with shapely buffer(0) (region_samplers.py:69-71);
-            # we keep the polygon and use its shoelace area, which matches
-            # buffer(0) for near-simple rings and is safe for sampling decisions
+            # real repair, like the reference's shapely buffer(0)
+            # (region_samplers.py:69-71): split self-crossings into simple
+            # loops, keep the dominant-orientation ones (drops accidental
+            # bowtie slivers), keyhole-bridge the rest back into one ring
             print("invalid polygon found. Fixing...")
+            v = repair_polygon(v)
         self.vertices_layer = np.ascontiguousarray(v)
         self.area = shoelace_area(v)
         self.bounds = polygon_bounds(v)

@@ -10,8 +10,10 @@ from .device import (
 from .polygon import (
     clip_area_box,
     clip_area_boxes,
+    find_self_intersections,
     is_simple_polygon,
     polygon_bounds,
+    repair_polygon,
     shoelace_area,
     signed_shoelace_area,
 )
@@ -22,7 +24,9 @@ __all__ = [
     "clip_area_box",
     "clip_area_boxes",
     "clip_area_regions",
+    "find_self_intersections",
     "is_simple_polygon",
+    "repair_polygon",
     "multi_class_mask",
     "pad_polygon",
     "pad_polygons",

@@ -156,3 +156,106 @@ def test_polygon_mask_area_close(rng):
     poly = star_polygon(rng, (100, 100), 60, 12)
     m = polygon_mask(poly, 200, 200)
     assert m.sum() == pytest.approx(shoelace_area(poly), rel=0.05)
+
+
+# --- polygon repair (reference buffer(0) analog, region_samplers.py:69-71) ---
+
+
+def test_repair_symmetric_bowtie_keeps_one_lobe():
+    """A perfectly symmetric figure-8 has net-zero signed area; the repair
+    keeps the largest lobe (deliberate tie-break, documented)."""
+    from deephisto_tpu.geometry import repair_polygon
+
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2]], dtype=np.float64)
+    r = repair_polygon(bowtie)
+    assert is_simple_polygon(r)
+    assert shoelace_area(r) == pytest.approx(1.0)  # one 1.0-area lobe
+
+
+def test_repair_asymmetric_bowtie_drops_sliver():
+    """An accidental twist creates a small inverted lobe; repair keeps the
+    dominant-orientation body and drops the sliver — the buffer(0) behavior
+    the reference relies on (naive shoelace would report |33.3 - 3.3| or
+    33.3 + 3.3 depending on cancellation, corrupting weights)."""
+    from deephisto_tpu.geometry import repair_polygon
+
+    asym = np.array([[0, 0], [10, 10], [10, 0], [2, 4]], dtype=np.float64)
+    r = repair_polygon(asym)
+    assert is_simple_polygon(r)
+    assert shoelace_area(r) == pytest.approx(100 / 3)
+
+
+def test_repair_simple_polygon_unchanged(rng):
+    from deephisto_tpu.geometry import repair_polygon
+
+    poly = star_polygon(rng, (50, 50), 30, 9)
+    np.testing.assert_array_equal(repair_polygon(poly), poly)
+
+
+def test_repair_accept_reject_parity():
+    """The sampler's accept/reject decision (patch∩region > ps²·thr) must be
+    computed on the REPAIRED geometry: a patch inside the dropped sliver must
+    reject, a patch inside the kept lobe must accept — host and device."""
+    import jax.numpy as jnp
+
+    from deephisto_tpu.geometry import (
+        clip_area_batch,
+        clip_area_box,
+        pad_polygon,
+        repair_polygon,
+    )
+
+    asym = (
+        np.array([[0, 0], [10, 10], [10, 0], [2, 4]], dtype=np.float64) * 40
+    )  # big lobe right of x≈133, sliver left
+    r = repair_polygon(asym)
+    ps, thr = 32, 0.75
+    inside_big = (300.0, 100.0, 332.0, 132.0)  # inside the kept lobe
+    inside_sliver = (60.0, 70.0, 92.0, 102.0)  # inside the dropped sliver
+    a_big = clip_area_box(r, *inside_big)
+    a_sliver = clip_area_box(r, *inside_sliver)
+    assert a_big > ps * ps * thr
+    assert a_sliver < ps * ps * 0.05
+    # device parity on the padded (bridged) ring
+    padded = pad_polygon(r, 32)
+    dev = np.asarray(
+        clip_area_batch(
+            jnp.asarray(padded)[None].repeat(2, 0),
+            jnp.asarray([inside_big, inside_sliver], dtype=jnp.float32),
+        )
+    )
+    assert dev[0] == pytest.approx(a_big, abs=1.0)
+    assert dev[1] == pytest.approx(a_sliver, abs=1.0)
+
+
+def test_keyhole_bridge_is_clip_neutral():
+    """Multiple kept loops are re-joined with zero-width bridges; the bridge
+    must contribute zero area to every clip query (exact cancellation)."""
+    from deephisto_tpu.geometry import clip_area_boxes
+
+    A = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    B = [(5, 0), (7, 0), (7, 2), (5, 2)]
+    ring = np.array(A + B + [B[0], A[-1]], dtype=np.float64)
+    assert shoelace_area(ring) == pytest.approx(8.0)
+    boxes = np.array(
+        [[-1, -1, 3, 3], [4, -1, 8, 3], [2.5, -1, 4.5, 3], [1, 1, 6, 2]],
+        dtype=np.float64,
+    )
+    got = clip_area_boxes(ring, boxes)
+    np.testing.assert_allclose(got, [4.0, 4.0, 0.0, 2.0], atol=1e-9)
+
+
+def test_find_self_intersections_vectorized_scales():
+    """Multi-thousand-vertex simplicity check must be block-vectorized, not a
+    quadratic Python pair loop (round-1 weak spot)."""
+    import time
+
+    from deephisto_tpu.geometry import find_self_intersections
+
+    t = np.linspace(0, 2 * np.pi, 4000, endpoint=False)
+    poly = np.stack([100 + 90 * np.cos(t), 100 + 90 * np.sin(t)], axis=1)
+    t0 = time.perf_counter()
+    assert find_self_intersections(poly) == []
+    assert is_simple_polygon(poly)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"simplicity check too slow: {dt:.1f}s for 4000 vertices"
