@@ -48,6 +48,8 @@ from .weights import area_weights, calc_weights
 
 DEFAULT_TRIALS = 32  # parallel rejection trials per patch (vs miss_limit=500 serial)
 N_ANCHORS = 8
+MAX_CELLS = 512  # proposal cells per region (mask-guided trials, thin regions)
+MAX_CELL_EVALS = 16384  # cap on clip evaluations per region at table build
 
 
 # ---------------------------------------------------------------------------
@@ -67,6 +69,9 @@ class RegionTable:
     sample_hi: jnp.ndarray  # (R, 2) i32 — exclusive upper trial bound
     anchors: jnp.ndarray  # (R, N_ANCHORS, 2) i32 — guaranteed-valid (y, x)
     n_anchors: jnp.ndarray  # (R,) i32
+    cells: jnp.ndarray  # (R, MAX_CELLS, 2) i32 — proposal-cell lo corners (y, x)
+    n_cells: jnp.ndarray  # (R,) i32
+    cell_step: jnp.ndarray  # (R, 2) i32 — proposal-cell extent (dy, dx)
     feasible: np.ndarray  # (R,) bool (host)
     max_v: int
 
@@ -105,6 +110,57 @@ def _region_anchors(
     return cand[pick].astype(np.int32)
 
 
+def _region_cells(
+    reg: RegionAnnotation,
+    patch_size: int,
+    region_intersection: float,
+    seed: int = 0,
+    max_cells: int = MAX_CELLS,
+    max_evals: int = MAX_CELL_EVALS,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Proposal cells: a conservative grid cover of the region's valid-corner
+    set, for mask-guided rejection trials.
+
+    The reference proposes patch corners uniformly in the region bbox and
+    retries up to 500 times (region_samplers.py:120-142). For thin/serpentine
+    regions the bbox acceptance rate can be ≪ 1/T, so uniform-bbox trials
+    nearly always miss. These cells restrict proposals to grid cells that MAY
+    contain a valid corner: a cell is kept when the exact clip area at its lo
+    corner is within a Lipschitz slack (area moves at most ps·(dy+dx) when the
+    corner moves by (dy, dx)) of the acceptance threshold, so the union of
+    kept cells covers every valid corner. Proposals drawn uniformly from a
+    kept cell + exact accept test ⇒ accepted corners are uniform over the
+    valid set, exactly the reference's conditional distribution. Returns
+    (cells (K, 2) int32 (y, x), (step_y, step_x)).
+    """
+    x0, y0, x1, y1 = reg.bounds
+    h, w = reg.layer_size
+    ps = patch_size
+    ylo = int(np.clip(np.floor(y0), 0, max(0, h - ps)))
+    xlo = int(np.clip(np.floor(x0), 0, max(0, w - ps)))
+    yhi = int(np.clip(min(max(y0 + 1, y1 - ps), h - ps), ylo, h - ps))
+    xhi = int(np.clip(min(max(x0 + 1, x1 - ps), w - ps), xlo, w - ps))
+    side = int(np.sqrt(max_evals))
+    cy = max(1, -(-(yhi - ylo + 1) // side))
+    cx = max(1, -(-(xhi - xlo + 1) // side))
+    ys = np.arange(ylo, yhi + 1, cy)
+    xs = np.arange(xlo, xhi + 1, cx)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    cand = np.stack([yy.ravel(), xx.ravel()], axis=1)
+    boxes = np.stack(
+        [cand[:, 1], cand[:, 0], cand[:, 1] + ps, cand[:, 0] + ps], axis=1
+    ).astype(np.float64)
+    areas = clip_area_boxes(reg.vertices_layer, boxes)
+    slack = ps * (cy + cx)
+    keep = np.where(areas > ps * ps * region_intersection - slack)[0]
+    if len(keep) == 0:
+        return np.zeros((0, 2), dtype=np.int32), (cy, cx)
+    if len(keep) > max_cells:
+        rng = np.random.default_rng(seed + reg.region_idx)
+        keep = rng.choice(keep, size=max_cells, replace=False)
+    return cand[keep].astype(np.int32), (cy, cx)
+
+
 def build_region_table(
     regions: dict[str, list[RegionAnnotation]],
     classes: list[str],
@@ -135,6 +191,9 @@ def build_region_table(
     hi = np.zeros((R, 2), dtype=np.int32)
     anchors = np.zeros((R, N_ANCHORS, 2), dtype=np.int32)
     n_anchors = np.zeros((R,), dtype=np.int32)
+    cells = np.zeros((R, MAX_CELLS, 2), dtype=np.int32)
+    n_cells = np.zeros((R,), dtype=np.int32)
+    cell_step = np.ones((R, 2), dtype=np.int32)
     feasible = np.zeros((R,), dtype=bool)
 
     for i, r in enumerate(flat):
@@ -154,6 +213,11 @@ def build_region_table(
             n_anchors[i] = len(a)
             anchors[i, : len(a)] = a
             feasible[i] = len(a) > 0
+            if feasible[i]:
+                c, (cy, cx) = _region_cells(r, ps, region_intersection)
+                n_cells[i] = len(c)
+                cells[i, : len(c)] = c
+                cell_step[i] = (cy, cx)
 
     table = RegionTable(
         verts=jnp.asarray(verts),
@@ -164,6 +228,9 @@ def build_region_table(
         sample_hi=jnp.asarray(hi),
         anchors=jnp.asarray(anchors),
         n_anchors=jnp.asarray(np.maximum(n_anchors, 1)),
+        cells=jnp.asarray(cells),
+        n_cells=jnp.asarray(np.maximum(n_cells, 1)),
+        cell_step=jnp.asarray(cell_step),
         feasible=feasible,
         max_v=max_v,
     )
@@ -343,7 +410,8 @@ class AnnoRegionRndSampler:
         def fn(key):
             return self._step_impl(
                 key, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
-                t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+                t.sample_hi, t.anchors, t.n_anchors, t.cells, t.n_cells,
+                t.cell_step, self._logw_cls_region,
                 self._logw_img_cls_region, self._cls_available,
                 self._img_cls_available, self._logw_img_all, self.bank.images,
                 n=n, forced_cls=forced_cls, gather=gather,
@@ -365,7 +433,8 @@ class AnnoRegionRndSampler:
         return fn
 
     def _step_impl(self, key, verts, area, class_idx, image_idx, lo, hi,
-                   anchors, n_anchors, logw_cls_region, logw_img_cls_region,
+                   anchors, n_anchors, cells, n_cells, cell_step,
+                   logw_cls_region, logw_img_cls_region,
                    cls_available, img_cls_available, logw_img_all, images,
                    *, n: int, forced_cls: int | None, gather: bool = True):
         k = self.patches_from_one_region
@@ -376,7 +445,9 @@ class AnnoRegionRndSampler:
         one_image = self.one_image_for_batch
         max_v = self.table.max_v
 
-        k_img, k_cls, k_reg, k_trial, k_anchor = jax.random.split(key, 5)
+        k_img, k_cls, k_reg, k_trial, k_anchor, k_cell, k_cjit = (
+            jax.random.split(key, 7)
+        )
 
         if one_image:
             img_logits = logw_img_all
@@ -401,12 +472,41 @@ class AnnoRegionRndSampler:
 
         region = jax.random.categorical(k_reg, logw_region[cls], axis=-1)  # (G,)
 
-        # rejection trials: (G, k, T) candidate corners inside region bbox
+        # rejection trials, (G, k, T) candidate corners: the first T1 are
+        # uniform over the region bbox (the reference's proposal distribution,
+        # region_samplers.py:123-128); the rest are mask-guided — drawn
+        # uniformly inside precomputed proposal cells that cover the
+        # valid-corner set, so thin/serpentine regions whose bbox acceptance
+        # is ≪ 1/T still accept instead of collapsing onto the ≤8 anchors.
+        # Both proposal families are uniform where they can accept, so the
+        # accepted-corner distribution stays uniform over the valid set.
         rlo = lo[region].astype(jnp.float32)  # (G, 2)
         rhi = hi[region].astype(jnp.float32)
-        u = jax.random.uniform(k_trial, (G, k, T, 2))
-        yx = jnp.floor(rlo[:, None, None, :] + u * (rhi - rlo)[:, None, None, :])
-        yx = yx.astype(jnp.int32)
+        T1 = max(1, T // 2)
+        T2 = T - T1
+        u = jax.random.uniform(k_trial, (G, k, T1, 2))
+        yx_bbox = jnp.floor(
+            rlo[:, None, None, :] + u * (rhi - rlo)[:, None, None, :]
+        ).astype(jnp.int32)
+        if T2 > 0:
+            ci = jax.random.randint(k_cell, (G, k, T2), 0, 1_000_000) % n_cells[
+                region
+            ][:, None, None]
+            cell_lo = jnp.take_along_axis(
+                cells[region][:, None], ci[..., None], axis=2
+            )  # (G, k, T2, 2)
+            cj = jax.random.uniform(k_cjit, (G, k, T2, 2)) * cell_step[region][
+                :, None, None, :
+            ]
+            yx_cell = cell_lo + jnp.floor(cj).astype(jnp.int32)
+            yx_cell = jnp.clip(
+                yx_cell,
+                lo[region][:, None, None, :],
+                hi[region][:, None, None, :] - 1,
+            )
+            yx = jnp.concatenate([yx_bbox, yx_cell], axis=2)
+        else:
+            yx = yx_bbox
 
         boxes = jnp.stack(
             [
@@ -458,7 +558,8 @@ class AnnoRegionRndSampler:
             t = self.table
             return fn(
                 sub, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
-                t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+                t.sample_hi, t.anchors, t.n_anchors, t.cells, t.n_cells,
+                t.cell_step, self._logw_cls_region,
                 self._logw_img_cls_region, self._cls_available,
                 self._img_cls_available, self._logw_img_all, self.bank.images,
             )
@@ -475,7 +576,8 @@ class AnnoRegionRndSampler:
         t = self.table
         labels, coords, img_idx = coord_fn(
             sub, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
-            t.sample_hi, t.anchors, t.n_anchors, self._logw_cls_region,
+            t.sample_hi, t.anchors, t.n_anchors, t.cells, t.n_cells,
+            t.cell_step, self._logw_cls_region,
             self._logw_img_cls_region, self._cls_available,
             self._img_cls_available, self._logw_img_all, np.zeros((0,)),
         )

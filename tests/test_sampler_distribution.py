@@ -226,3 +226,73 @@ def test_extract_skips_infeasible_class(tmp_path):
     )
     assert len(list((out / "0").glob("*.jpg"))) == 4  # BIG extracted
     assert (out / "1").exists() and not list((out / "1").glob("*.jpg"))  # TINY skipped
+
+
+def test_serpentine_region_coverage(tmp_path):
+    """Thin-region fidelity (round-1 weak spot): a serpentine comb whose bbox
+    acceptance rate is below 1/50 must still produce well-spread patches (the
+    round-1 sampler collapsed such regions onto its <=8 anchor coords)."""
+    from deephisto_tpu.geometry import clip_area_boxes, shoelace_area
+
+    # S-shaped corridor: 3 vertical legs (36 px wide) + 2 connecting bars
+    serp = np.array(
+        [
+            [200, 100], [236, 100], [236, 1900], [800, 1900], [800, 100],
+            [1436, 100], [1436, 1936], [1400, 1936], [1400, 136], [836, 136],
+            [836, 1900], [836, 1936], [200, 1936],
+        ],
+        dtype=np.float64,
+    )
+    ps, ri = 32, 0.95
+
+    # premise: uniform-bbox proposals accept < 1/50 of the time
+    rng = np.random.default_rng(0)
+    x0, y0 = serp[:, 0].min(), serp[:, 1].min()
+    x1, y1 = serp[:, 0].max() - ps, serp[:, 1].max() - ps
+    cx = rng.uniform(x0, x1, 5000)
+    cy = rng.uniform(y0, y1, 5000)
+    boxes = np.stack([cx, cy, cx + ps, cy + ps], axis=1)
+    acc = (clip_area_boxes(serp, boxes) > ps * ps * ri).mean()
+    assert acc < 1 / 50, f"test premise broken: bbox acceptance {acc:.4f}"
+
+    root = tmp_path / "serp"
+    img_dir = root / "images" / "train"
+    anno_dir = root / "annotations" / "train"
+    img_dir.mkdir(parents=True)
+    anno_dir.mkdir(parents=True)
+    write_dhs(np.full((2048, 2048, 3), 205, np.uint8), img_dir / "s.dhs", max_layer=2)
+    (anno_dir / "s.json").write_text(
+        json.dumps([{"class": "TUM", "vertices": serp.tolist()}])
+    )
+    s = AnnoRegionRndSampler(
+        [(img_dir / "s.dhs", anno_dir / "s.json")],
+        layer=1, patch_size=ps, region_intersection=ri,
+        patches_from_one_region=1, seed=0, verbose=False,
+    )
+    coords = []
+    for batch in s.structs_generator(batch_size=64, n_batches=8):
+        for p, _ in batch:
+            # every patch satisfies the acceptance condition (exact clip)
+            a = clip_area_boxes(
+                serp,
+                np.array([[p.pos_x, p.pos_y, p.pos_x + ps, p.pos_y + ps]], float),
+            )[0]
+            assert a > ps * ps * ri * 0.999, (p.pos_x, p.pos_y, a)
+            coords.append((p.pos_y, p.pos_x))
+    coords = np.array(coords)
+    distinct = len({tuple(c) for c in coords})
+    assert distinct > 100, f"only {distinct} distinct coords (anchor collapse?)"
+
+    # spread: every leg is hit, and the y-range of leg patches covers the
+    # corridor (8 vertical bins over [100, 1900], each nonempty)
+    legs = [(200 - ps, 236), (800 - ps, 836), (1400 - ps, 1436)]
+    for lo, hi in legs:
+        in_leg = (coords[:, 1] >= lo) & (coords[:, 1] <= hi)
+        assert in_leg.sum() > 10, f"leg [{lo},{hi}] starved: {in_leg.sum()}"
+    leg_ys = coords[
+        ((coords[:, 1] >= 168) & (coords[:, 1] <= 236))
+        | ((coords[:, 1] >= 768) & (coords[:, 1] <= 836))
+        | ((coords[:, 1] >= 1368) & (coords[:, 1] <= 1436))
+    ][:, 0]
+    hist, _ = np.histogram(leg_ys, bins=8, range=(100, 1900 - ps))
+    assert (hist > 0).all(), f"vertical bins starved: {hist}"
