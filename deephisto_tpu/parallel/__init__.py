@@ -1,6 +1,14 @@
-"""Parallelism (device mesh + sharding rules)."""
+"""Parallelism (device mesh + sharding rules + multi-host wiring)."""
 
-from .spatial import band_partition, predict_full_spatial
+from .distributed import (
+    HOST_AXIS,
+    global_band_mesh,
+    global_batch_sharding,
+    initialize,
+    make_global_mesh,
+    replicated_global,
+    shard_slides,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -9,14 +17,22 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .spatial import band_partition, predict_full_spatial
 
 __all__ = [
     "band_partition",
     "predict_full_spatial",
     "DATA_AXIS",
+    "HOST_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "global_band_mesh",
+    "global_batch_sharding",
+    "initialize",
+    "make_global_mesh",
     "make_mesh",
     "replicated",
+    "replicated_global",
     "shard_batch",
+    "shard_slides",
 ]
