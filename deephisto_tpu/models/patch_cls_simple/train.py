@@ -29,9 +29,9 @@ import numpy as np
 from ...parallel import batch_sharding, make_mesh, replicated, shard_batch
 from ...samplers import AnnoRegionRndSampler, extract_and_save_subset
 from ...train import (
-    ReduceLROnPlateau,
     create_train_state,
     load_train_state,
+    make_scheduler,
     save_model,
     save_train_state,
 )
@@ -291,11 +291,14 @@ def train(cfg, resume: bool = False, mesh=None):
         in_channels=in_channels,
         pretrained=in_channels == 3 and cfg["model"].get("arch", "resnet") == "resnet",
     )
-    state = create_train_state(model, variables, cfg["training"]["lr"])
-
-    scheduler = ReduceLROnPlateau(
-        lr=cfg["training"]["lr"], mode="min", factor=0.1, patience=5
+    state = create_train_state(
+        model,
+        variables,
+        cfg["training"]["lr"],
+        weight_decay=cfg["training"].get("weight_decay", 0.0),
     )
+
+    scheduler = make_scheduler(cfg["training"])
 
     start_epoch = 0
     best_val_acc = 0.0
@@ -304,9 +307,18 @@ def train(cfg, resume: bool = False, mesh=None):
         state, start_epoch, extra = load_train_state(last_ckpt, state)
         best_val_acc = extra.get("best_val_acc", 0.0)
         scheduler.lr = extra.get("lr", scheduler.lr)
-        scheduler.best = extra.get("sched_best")
-        scheduler.num_bad_epochs = extra.get("sched_bad_epochs", 0)
+        if hasattr(scheduler, "best"):  # plateau state
+            scheduler.best = extra.get("sched_best")
+            scheduler.num_bad_epochs = extra.get("sched_bad_epochs", 0)
+        if hasattr(scheduler, "epoch"):  # warmup_cosine state
+            scheduler.epoch = extra.get("sched_epoch", start_epoch)
         print(f"Resumed from epoch {start_epoch} (best val acc {best_val_acc:.4f})")
+
+    # schedules that don't start at the base LR (warmup) must be applied
+    # before the first epoch, not only after scheduler.step()
+    from ...train import set_learning_rate
+
+    state = set_learning_rate(state, scheduler.lr)
 
     _, eval_step = make_steps(model, mesh)
 
@@ -361,8 +373,6 @@ def train(cfg, resume: bool = False, mesh=None):
         print(f"Val Loss: {val_loss:.4f}, Val Acc: {val_acc:.4f}")
 
         new_lr = scheduler.step(val_loss)
-        from ...train import set_learning_rate
-
         state = set_learning_rate(state, new_lr)
         print(f"Current Learning Rate: {scheduler.get_last_lr()[0]:.6f}")
 
@@ -432,8 +442,9 @@ def train(cfg, resume: bool = False, mesh=None):
             extra={
                 "best_val_acc": best_val_acc,
                 "lr": scheduler.lr,
-                "sched_best": scheduler.best,
-                "sched_bad_epochs": scheduler.num_bad_epochs,
+                "sched_best": getattr(scheduler, "best", None),
+                "sched_bad_epochs": getattr(scheduler, "num_bad_epochs", 0),
+                "sched_epoch": getattr(scheduler, "epoch", epoch + 1),
             },
         )
 

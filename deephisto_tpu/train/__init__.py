@@ -8,11 +8,20 @@ from .checkpoint import (
     save_train_state,
 )
 from .metrics import accuracy, cross_entropy_loss
-from .state import ReduceLROnPlateau, TrainState, create_train_state, set_learning_rate
+from .state import (
+    ReduceLROnPlateau,
+    TrainState,
+    WarmupCosine,
+    create_train_state,
+    make_scheduler,
+    set_learning_rate,
+)
 
 __all__ = [
     "BEST_MODEL_FILE",
     "ReduceLROnPlateau",
+    "WarmupCosine",
+    "make_scheduler",
     "TrainState",
     "accuracy",
     "create_train_state",

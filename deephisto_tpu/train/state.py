@@ -26,10 +26,22 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(
-    model, variables: dict, learning_rate: float, tx: optax.GradientTransformation | None = None
+    model,
+    variables: dict,
+    learning_rate: float,
+    tx: optax.GradientTransformation | None = None,
+    weight_decay: float = 0.0,
 ) -> TrainState:
+    """Adam by default (the reference's optimizer, train.py:118); AdamW when
+    ``weight_decay`` > 0 (the standard ViT recipe). The LR is an injected
+    hyperparameter so schedule updates never recompile the train step."""
     if tx is None:
-        tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+        if weight_decay > 0.0:
+            tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=learning_rate, weight_decay=weight_decay
+            )
+        else:
+            tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -91,3 +103,64 @@ class ReduceLROnPlateau:
 
     def get_last_lr(self) -> list[float]:
         return [self.lr]
+
+
+class WarmupCosine:
+    """Per-epoch linear-warmup + cosine-decay LR controller (the standard ViT
+    training schedule). Same ``.step(metric) -> lr`` surface as
+    :class:`ReduceLROnPlateau` so the trainer can swap schedules from config;
+    the metric argument is ignored."""
+
+    def __init__(
+        self,
+        lr: float,
+        total_epochs: int,
+        warmup_epochs: int = 3,
+        min_lr: float = 0.0,
+    ):
+        self.base = lr
+        self.total = total_epochs
+        self.warmup = min(warmup_epochs, total_epochs)
+        self.min_lr = min_lr
+        self.epoch = 0
+        self.lr = self._at(0)
+
+    def _at(self, e: int) -> float:
+        import math
+
+        if self.warmup > 0 and e < self.warmup:
+            return self.base * (e + 1) / self.warmup
+        # decay spans [warmup, total-1] so the FINAL epoch runs at min_lr
+        t = (e - self.warmup) / max(1, self.total - 1 - self.warmup)
+        t = min(max(t, 0.0), 1.0)
+        return self.min_lr + (self.base - self.min_lr) * 0.5 * (
+            1.0 + math.cos(math.pi * t)
+        )
+
+    def step(self, value: float | None = None) -> float:
+        self.epoch += 1
+        self.lr = self._at(self.epoch)
+        return self.lr
+
+    def get_last_lr(self) -> list[float]:
+        return [self.lr]
+
+
+def make_scheduler(cfg_training: dict):
+    """Build the LR controller from the training config section.
+
+    ``schedule: plateau`` (default — the reference's ReduceLROnPlateau,
+    train.py:118-122) or ``schedule: warmup_cosine`` with ``warmup_epochs`` /
+    ``min_lr`` (the ViT recipe)."""
+    kind = cfg_training.get("schedule", "plateau")
+    lr = cfg_training["lr"]
+    if kind == "plateau":
+        return ReduceLROnPlateau(lr=lr, mode="min", factor=0.1, patience=5)
+    if kind == "warmup_cosine":
+        return WarmupCosine(
+            lr=lr,
+            total_epochs=cfg_training["n_epochs"],
+            warmup_epochs=cfg_training.get("warmup_epochs", 3),
+            min_lr=cfg_training.get("min_lr", 0.0),
+        )
+    raise ValueError(f"unknown training.schedule: {kind!r}")

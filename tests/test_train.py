@@ -66,3 +66,69 @@ def test_train_resume_continues(tiny_cfg):
     result = train(cfg, resume=True)
     # resumed from epoch 2 → only 1 new epoch recorded
     assert len(result["train_losses"]) == 1
+
+
+def test_warmup_cosine_schedule_curve():
+    """Linear warmup to base LR, cosine decay to min_lr (the ViT recipe)."""
+    from deephisto_tpu.train import WarmupCosine
+
+    s = WarmupCosine(lr=0.3, total_epochs=10, warmup_epochs=3, min_lr=0.03)
+    lrs = [s.lr]
+    for _ in range(9):
+        lrs.append(s.step(123.0))  # metric ignored
+    assert lrs[0] == pytest.approx(0.1)  # epoch 0: base/3
+    assert lrs[1] == pytest.approx(0.2)
+    assert lrs[2] == pytest.approx(0.3)  # warmup done
+    assert all(a >= b - 1e-12 for a, b in zip(lrs[2:], lrs[3:]))  # monotone decay
+    assert lrs[-1] == pytest.approx(0.03)  # cosine floor
+
+
+def test_make_scheduler_dispatch():
+    from deephisto_tpu.train import ReduceLROnPlateau, WarmupCosine, make_scheduler
+
+    plateau = make_scheduler({"lr": 1e-3, "n_epochs": 5})
+    assert isinstance(plateau, ReduceLROnPlateau)
+    cosine = make_scheduler(
+        {"lr": 1e-3, "n_epochs": 5, "schedule": "warmup_cosine", "warmup_epochs": 1}
+    )
+    assert isinstance(cosine, WarmupCosine)
+    with pytest.raises(ValueError, match="schedule"):
+        make_scheduler({"lr": 1e-3, "n_epochs": 5, "schedule": "nope"})
+
+
+def test_adamw_weight_decay_state():
+    """weight_decay > 0 selects AdamW with an injected decay hyperparam."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.train import create_train_state
+
+    model = nn.Dense(3)
+    variables = {"params": model.init(jax.random.key(0), jnp.zeros((1, 4)))["params"]}
+    state = create_train_state(model, variables, 1e-3, weight_decay=0.05)
+    assert float(state.opt_state.hyperparams["weight_decay"]) == pytest.approx(0.05)
+
+
+@pytest.mark.slow
+def test_train_vit_warmup_cosine_end_to_end(tiny_cfg, tmp_path):
+    """The ViT family trains through the same fused program with the
+    warmup+cosine schedule; LR must follow the schedule in metrics.csv."""
+    from deephisto_tpu.models.patch_cls_simple.train import train
+
+    cfg = {k: dict(v) for k, v in tiny_cfg.items()}
+    cfg["model"] = {"n_classes": 5, "arch": "vit", "depth": 1}
+    cfg["training"].update(
+        schedule="warmup_cosine", warmup_epochs=1, weight_decay=0.05,
+        save_dir=str(tmp_path / "ckpt"), out_dir=str(tmp_path / "out"),
+    )
+    result = train(cfg)
+    assert len(result["train_losses"]) == 2
+    assert all(np.isfinite(v) for v in result["train_losses"])
+    import csv
+    from pathlib import Path
+
+    rows = list(csv.DictReader((Path(tmp_path) / "out" / "metrics.csv").open()))
+    lrs = [float(r["lr"]) for r in rows]
+    # epoch 1 ends with the post-step LR for epoch 2 (cosine, below base)
+    assert lrs[0] <= cfg["training"]["lr"] * 1.0001

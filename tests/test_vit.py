@@ -69,3 +69,38 @@ def test_get_model_vit_arch():
         train=False,
     )
     assert out.shape == (2, 5)
+
+
+def test_flash_kernel_matches_fallback_interpret():
+    """The Pallas flash-attention path (TPU kernel, run here in interpret
+    mode) must match the jnp fallback — aligned sequence, no padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(1)
+    shape = (2, 2, 128, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+    want = np.asarray(_attention(q, k, v, use_flash=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_attention(q, k, v, use_flash=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_flash_kernel_padded_segment_ids_matches_fallback():
+    """The padded path (sequence not a multiple of 128 → zero-token pad +
+    SegmentIds masking) must still equal the unpadded jnp fallback: pad
+    tokens may not leak into real tokens' softmax. n=196 is the production
+    token count (224/16 grid)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    shape = (1, 2, 196, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape).astype(np.float32)) for _ in range(3)
+    )
+    want = np.asarray(_attention(q, k, v, use_flash=False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_attention(q, k, v, use_flash=True))
+    assert got.shape == want.shape  # pad rows sliced off
+    np.testing.assert_allclose(got, want, atol=2e-5)
