@@ -1,0 +1,123 @@
+"""On-chip gather benchmarks: Pallas fused gather+normalize parity vs XLA,
+plus the HBM roofline for both paths (VERDICT.md round-1 #6).
+
+Prints one JSON line per measurement and appends to
+benchmarks/gather_bench_<backend>.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+V5E_HBM_GBPS = 819  # per-chip HBM bandwidth, TPU v5e
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.ops.gather import (
+        gather_normalize_pallas,
+        gather_patches_xla,
+        stage_slide,
+    )
+
+    out_path = Path(__file__).parent / f"gather_bench_{jax.default_backend()}.jsonl"
+    rows = []
+
+    H = W = 8192
+    PS, N = 224, 4096
+    rng = np.random.default_rng(0)
+    host_img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    img = stage_slide(host_img)  # padded for the Pallas superblock slack
+    # deliberately unaligned coords (odd y, x never multiples of 8/128)
+    ys = rng.integers(0, H - PS, size=N) | 1
+    xs = rng.integers(0, W - PS, size=N) | 1
+    coords = jnp.asarray(np.stack([ys, xs], axis=1).astype(np.int32))
+
+    # --- parity: compiled Pallas vs XLA, unaligned coords ---
+    sample = coords[:64]
+    want = np.asarray(gather_patches_xla(img, sample, PS)).astype(np.float32) / 255.0
+    try:
+        got = np.asarray(gather_normalize_pallas(img, sample, PS))
+        err = float(np.abs(got - want).max())
+        parity = {"measurement": "pallas_parity_compiled_unaligned",
+                  "max_abs_err": err, "ok": bool(err < 1e-6), "n": 64}
+    except Exception as e:
+        parity = {"measurement": "pallas_parity_compiled_unaligned",
+                  "ok": False, "error": str(e)[:500]}
+    rows.append(parity)
+    print(json.dumps(parity), flush=True)
+
+    def timeit(fn, reps=5):
+        fn()  # warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # --- roofline: XLA u8 gather ---
+    g = jax.jit(lambda c: gather_patches_xla(img, c, PS).sum(dtype=jnp.int32))
+    dt = timeit(lambda: int(g(coords)))
+    bytes_moved = N * PS * PS * 3 * 2  # u8 read + u8 write
+    row = {
+        "measurement": "xla_gather_u8",
+        "patches_per_s": round(N / dt, 0),
+        "GBps_read_write": round(bytes_moved / dt / 1e9, 1),
+        "hbm_fraction": round(bytes_moved / dt / 1e9 / (2 * V5E_HBM_GBPS), 3),
+        "best_s": round(dt, 5),
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+    # --- roofline: XLA gather + upcast + /255 (the production predict input path) ---
+    gn = jax.jit(
+        lambda c: (gather_patches_xla(img, c, PS).astype(jnp.float32) / 255.0).sum()
+    )
+    dt = timeit(lambda: float(gn(coords)))
+    bytes_moved = N * PS * PS * 3 * (1 + 4)  # u8 read + f32 write (fused upcast)
+    row = {
+        "measurement": "xla_gather_normalize_f32",
+        "patches_per_s": round(N / dt, 0),
+        "GBps_min_traffic": round(bytes_moved / dt / 1e9, 1),
+        "hbm_fraction": round(bytes_moved / dt / 1e9 / (2 * V5E_HBM_GBPS), 3),
+        "best_s": round(dt, 5),
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+    # --- roofline: Pallas fused gather+normalize (if compiled parity holds) ---
+    if parity.get("ok"):
+        pn = jax.jit(lambda c: gather_normalize_pallas(img, c, PS).sum())
+        try:
+            dt = timeit(lambda: float(pn(coords)))
+            bytes_moved = N * PS * PS * 3 * (1 + 4)
+            row = {
+                "measurement": "pallas_gather_normalize_f32",
+                "patches_per_s": round(N / dt, 0),
+                "GBps_min_traffic": round(bytes_moved / dt / 1e9, 1),
+                "hbm_fraction": round(bytes_moved / dt / 1e9 / (2 * V5E_HBM_GBPS), 3),
+                "best_s": round(dt, 5),
+            }
+        except Exception as e:
+            row = {"measurement": "pallas_gather_normalize_f32",
+                   "error": str(e)[:500]}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with out_path.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Over-HBM-budget slide paths, measured (VERDICT.md round-1 #7):
+
+* ONDISK mode — mmap'd DHS layer + native (C++/OpenMP) host patch extraction
+  feeding device batches (the reference's ONDISK_MULTIPROC role,
+  full_samplers.py:164-185);
+* stripe-streamed fused predict — the slide staged through HBM in
+  double-buffered stripes (predict/streaming.py).
+
+Appends JSON rows to benchmarks/overbudget_<backend>.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.predict.full_patched import process_on_device
+    from deephisto_tpu.predict.pipeline import dense_coords
+    from deephisto_tpu.predict.streaming import predict_full_streamed
+    from deephisto_tpu.samplers import FullImageDenseSampler, SamplerExecutionMode
+    from deephisto_tpu.slide import write_dhs
+
+    out_path = Path(__file__).parent / f"overbudget_{jax.default_backend()}.jsonl"
+    rows = []
+
+    H = W = 8192
+    PS, STRIDE, BATCH = 224, 112, 256
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, pretrained=False)
+    rng = np.random.default_rng(0)
+    host_img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    n_patches = len(dense_coords(H, W, PS, STRIDE))
+
+    # --- ONDISK: mmap'd DHS + native host extraction + device forward ---
+    dhs = Path("/tmp/dh_overbudget.dhs")
+    if not dhs.exists():
+        write_dhs(host_img, dhs, max_layer=1)
+    sampler = FullImageDenseSampler(
+        dhs, layer=1, patch_size=PS, batch_size=BATCH, stride=STRIDE,
+        mode=SamplerExecutionMode.ONDISK_MULTIPROC,
+    )
+    t0 = time.perf_counter()
+    process_on_device(sampler, model, variables, n_classes=5, verbose=False)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    process_on_device(sampler, model, variables, n_classes=5, verbose=False)
+    dt = time.perf_counter() - t0
+    row = {
+        "measurement": "ondisk_dense_predict",
+        "patches_per_s": round(n_patches / dt, 0),
+        "patches": n_patches,
+        "best_s": round(dt, 3),
+        "warm_s": round(warm, 3),
+        "detail": "mmap DHS + native extraction, per-batch host->device",
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+    # --- streamed fused predict (4 stripes of ~2048 rows) ---
+    def run_streamed():
+        _, score = predict_full_streamed(
+            host_img, model, variables, n_classes=5, patch_size=PS,
+            stride=STRIDE, batch_size=BATCH, stripe_rows=2048,
+        )
+        return float(jnp.asarray(score).sum())
+
+    run_streamed()  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_streamed()
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    row = {
+        "measurement": "streamed_dense_predict",
+        "patches_per_s": round(n_patches / dt, 0),
+        "patches": n_patches,
+        "best_s": round(dt, 3),
+        "detail": "double-buffered host->HBM stripes (2048 rows + overlap)",
+        "upload_bytes": int(4 * (2048 + PS) * W * 3),
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+    with out_path.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

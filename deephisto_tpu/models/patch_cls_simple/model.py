@@ -19,11 +19,14 @@ def get_model(
     dtype=jnp.bfloat16,
     stem: str = "imagenet",
     arch: str = "resnet",
+    width: int = 1,
 ):
     """Classifier backbone with an ``n_classes`` head.
 
     arch="resnet" (default): ``depth`` selects the backbone swap (18/34/50/101);
-    ``stem="s2d"`` enables the TPU space-to-depth stem for from-scratch runs.
+    ``stem="s2d"`` enables the TPU space-to-depth stem for from-scratch runs;
+    ``width`` multiplies channel counts (width=2 fills the 128-lane MXU that
+    64-channel stages leave half-idle).
     arch="vit": compact Vision Transformer whose attention runs through the
     Pallas flash-attention kernel on TPU (depth selects transformer depth).
     """
@@ -36,7 +39,9 @@ def get_model(
                 f"{depth}; set model.depth explicitly for ViT configs"
             )
         return ViT(num_classes=n_classes, depth=depth, dtype=dtype)
-    return build_resnet(num_classes=n_classes, depth=depth, dtype=dtype, stem=stem)
+    return build_resnet(
+        num_classes=n_classes, depth=depth, dtype=dtype, stem=stem, width=width
+    )
 
 
 def _model_depth(model) -> int:
@@ -61,7 +66,11 @@ def init_model(
         jax.random.key(seed),
         jnp.zeros((1, input_size, input_size, in_channels), jnp.float32),
     )
-    if pretrained and getattr(model, "stem", "imagenet") == "imagenet":
+    if (
+        pretrained
+        and getattr(model, "stem", "imagenet") == "imagenet"
+        and getattr(model, "num_filters", 64) == 64  # width>1 has no tv weights
+    ):
         loaded = load_torchvision_weights(dict(variables), depth=_model_depth(model))
         if loaded is not None:
             variables = loaded

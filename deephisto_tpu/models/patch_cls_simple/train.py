@@ -284,6 +284,7 @@ def train(cfg, resume: bool = False, mesh=None):
         depth=cfg["model"].get("depth", 18),
         stem=cfg["model"].get("stem", "imagenet"),
         arch=cfg["model"].get("arch", "resnet"),
+        width=cfg["model"].get("width", 1),
     )
     variables = init_model(
         model,

@@ -136,14 +136,27 @@ _DEPTHS = {18: ResNet18, 34: ResNet34, 50: ResNet50, 101: ResNet101}
 
 
 def build_resnet(
-    num_classes: int, depth: int = 18, dtype=jnp.bfloat16, stem: str = "imagenet"
+    num_classes: int,
+    depth: int = 18,
+    dtype=jnp.bfloat16,
+    stem: str = "imagenet",
+    width: int = 1,
 ) -> ResNet:
-    """ResNet constructor by depth (backbone swap surface: 18/34/50/101)."""
+    """ResNet constructor by depth (backbone swap surface: 18/34/50/101).
+
+    ``width`` multiplies every stage's channel count (width=2 → 128/256/512/
+    1024 for ResNet-18). TPU rationale: the MXU has 128 lanes, so 64-channel
+    convs cap at half the systolic array — doubling width roughly doubles
+    measured MXU utilization per FLOP (benchmarks/README.md, round-2 sweep).
+    Not torchvision-weight-compatible for width != 1.
+    """
     try:
         ctor = _DEPTHS[depth]
     except KeyError:
         raise ValueError(f"unsupported ResNet depth {depth}; choose from {sorted(_DEPTHS)}")
-    return ctor(num_classes=num_classes, dtype=dtype, stem=stem)
+    return ctor(
+        num_classes=num_classes, dtype=dtype, stem=stem, num_filters=64 * width
+    )
 
 
 def load_torchvision_weights(variables: dict, depth: int = 18) -> dict | None:

@@ -94,6 +94,29 @@ PAD_ROWS = _SUBLANE
 PAD_COLS = 96  # px; 288 bytes ≥ superblock rounding slack (≤ 2*_LANE - 1)
 
 
+def _switch_roll(v, amount, axis: int, bound: int, step: int):
+    """Left-roll ``v`` by ``amount`` (a multiple of ``step`` in [0, bound))
+    via a ``lax.switch`` over static shifts.
+
+    ``jnp.roll`` with a static shift lowers to slice+concatenate — no
+    ``tpu.dynamic_rotate``, which miscompiles on the current libtpu for
+    shapes beyond ~(16, 256) (the round-1 bug this works around)."""
+    branches = [
+        functools.partial(lambda s, x: jnp.roll(x, -s, axis), s)
+        for s in range(0, bound, step)
+    ]
+    return jax.lax.switch(amount // step, branches, v)
+
+
+def _realign(v, dy, dx):
+    """Realign a superblock by its (dy, dx) residuals with static-shift
+    switches: 8 row branches + (8 coarse × 16 fine) column branches."""
+    v = _switch_roll(v, dy, 0, _SUBLANE, 1)
+    v = _switch_roll(v, (dx // 16) * 16, 1, _LANE, 16)
+    v = _switch_roll(v, dx % 16, 1, 16, 1)
+    return v
+
+
 def _gather_norm_kernel(coords_ref, image_ref, out_ref, scratch, sems):
     """Per-patch program: double-buffered aligned superblock DMA + fused
     upcast/realign/normalize.
@@ -139,8 +162,7 @@ def _gather_norm_kernel(coords_ref, image_ref, out_ref, scratch, sems):
     dy = y - (y // _SUBLANE) * _SUBLANE
     dx = x3 - (x3 // _LANE) * _LANE
     v = scratch[i % 2].astype(jnp.int32)
-    v = pltpu.roll(v, -dy, 0)
-    v = pltpu.roll(v, -dx, 1)
+    v = _realign(v, dy, dx)
     out_ref[0] = v[0:ps, 0 : ps * 3].astype(jnp.float32) * (1.0 / 255.0)
 
 
