@@ -254,8 +254,14 @@ def test_find_self_intersections_vectorized_scales():
 
     t = np.linspace(0, 2 * np.pi, 4000, endpoint=False)
     poly = np.stack([100 + 90 * np.cos(t), 100 + 90 * np.sin(t)], axis=1)
-    t0 = time.perf_counter()
+    # process_time, not wall time: CI machines run this suite alongside
+    # tunnel compiles and CLI subprocesses, and wall-clock flakes under that
+    # contention (memory-bandwidth pressure also inflates this process's CPU
+    # seconds, measured up to ~25×). Quiet-machine cost is ~0.7s CPU for both
+    # calls; a Python pair loop over the 8M vertex pairs costs ≥24s CPU even
+    # uncontended, so 20s discriminates with margin on both sides.
+    t0 = time.process_time()
     assert find_self_intersections(poly) == []
     assert is_simple_polygon(poly)
-    dt = time.perf_counter() - t0
-    assert dt < 5.0, f"simplicity check too slow: {dt:.1f}s for 4000 vertices"
+    dt = time.process_time() - t0
+    assert dt < 20.0, f"simplicity check too slow: {dt:.1f}s CPU for 4000 vertices"
