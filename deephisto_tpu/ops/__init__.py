@@ -4,7 +4,6 @@ from .augment import preprocess_batch, preprocess_batch_per_sample
 from .gather import (
     gather_patches,
     gather_patches_multi_xla,
-    gather_normalize_pallas,
     gather_patches_xla,
 )
 from .sampling import categorical, gumbel_topk, log_weights, uniform_int
@@ -15,7 +14,6 @@ __all__ = [
     "categorical",
     "gather_patches",
     "gather_patches_multi_xla",
-    "gather_normalize_pallas",
     "gather_patches_xla",
     "gumbel_topk",
     "log_weights",

@@ -6,21 +6,16 @@ decode (the I/O hot loop, reference region_samplers.py:501-523 and
 full_samplers.py:164-202): slides live on device as uint8 arrays and patch
 extraction is a DMA gather that never touches the host.
 
-Two implementations with identical gather semantics:
+``gather_patches_xla`` — a ``vmap`` of ``lax.dynamic_slice`` — runs anywhere
+(CPU test meshes, shard_map bodies) and measures at HBM speed-of-light on a
+v5e chip (benchmarks/gather_bench.py), so it is the production default
+(``gather_patches``).
 
-* ``gather_patches_xla`` — ``vmap`` of ``lax.dynamic_slice``; runs anywhere
-  (CPU test meshes, shard_map bodies) and measures at HBM speed-of-light on a
-  v5e chip, so it is the production default (``gather_patches``).
-* ``gather_normalize_pallas`` — a Pallas TPU kernel fusing the gather with the
-  /255 float conversion: coords are scalar-prefetched into SMEM, aligned
-  superblocks are DMA'd HBM→VMEM in a double-buffered ring, and the unaligned
-  residual is realigned with 32-bit dynamic rotates during the upcast.
-  **Status: experimental.** Semantics verified in interpret mode; on the
-  current libtpu, ``tpu.dynamic_rotate`` miscompiles for shapes larger than
-  ~(16, 256) (verified with a minimal repro), so compiled-mode results are
-  wrong for unaligned coords. Since XLA's gather already saturates HBM
-  bandwidth, the XLA path is production and this kernel is kept as the
-  scaffold for future fused sampler+gather work once the rotate bug is fixed.
+A fused Pallas gather+normalize kernel was prototyped and retired: Mosaic on
+current libtpu cannot compile any legal realignment for unaligned patch
+offsets, and the XLA gather is already at the HBM roofline so there is
+nothing to win (measurements and the full story:
+``deephisto_tpu/experimental/pallas_gather.py`` and benchmarks/README.md).
 """
 
 from __future__ import annotations
@@ -29,8 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _on_tpu() -> bool:
@@ -81,152 +74,6 @@ def gather_patches_multi_xla(
     return jax.vmap(one)(slide_idx.astype(jnp.int32), coords.astype(jnp.int32))
 
 
-# ---------------------------------------------------------------------------
-# Pallas path
-# ---------------------------------------------------------------------------
-
-_SUBLANE = 8  # uint8 DMA row-offset alignment demanded by Mosaic tiling
-_LANE = 128  # lane (byte-column) alignment
-# staging slack so aligned superblocks never overflow the image; the
-# superblock byte width is rounded up to a lane multiple (dynamic rotates
-# require lane-aligned shapes), so the column slack must cover that rounding
-PAD_ROWS = _SUBLANE
-PAD_COLS = 96  # px; 288 bytes ≥ superblock rounding slack (≤ 2*_LANE - 1)
-
-
-def _switch_roll(v, amount, axis: int, bound: int, step: int):
-    """Left-roll ``v`` by ``amount`` (a multiple of ``step`` in [0, bound))
-    via a ``lax.switch`` over static shifts.
-
-    ``jnp.roll`` with a static shift lowers to slice+concatenate — no
-    ``tpu.dynamic_rotate``, which miscompiles on the current libtpu for
-    shapes beyond ~(16, 256) (the round-1 bug this works around)."""
-    branches = [
-        functools.partial(lambda s, x: jnp.roll(x, -s, axis), s)
-        for s in range(0, bound, step)
-    ]
-    return jax.lax.switch(amount // step, branches, v)
-
-
-def _realign(v, dy, dx):
-    """Realign a superblock by its (dy, dx) residuals with static-shift
-    switches: 8 row branches + (8 coarse × 16 fine) column branches."""
-    v = _switch_roll(v, dy, 0, _SUBLANE, 1)
-    v = _switch_roll(v, (dx // 16) * 16, 1, _LANE, 16)
-    v = _switch_roll(v, dx % 16, 1, 16, 1)
-    return v
-
-
-def _gather_norm_kernel(coords_ref, image_ref, out_ref, scratch, sems):
-    """Per-patch program: double-buffered aligned superblock DMA + fused
-    upcast/realign/normalize.
-
-    Patch coords are arbitrary, but Mosaic requires DMA offsets aligned to the
-    (8, 128) uint8 tiling — so we DMA the enclosing aligned superblock
-    (ps+8 rows × ps*3+128 bytes) into a 2-slot VMEM ring (prefetching the next
-    patch's block while processing the current one). The unaligned (dy, dx)
-    residual is realigned with dynamic rotates, which Mosaic supports only for
-    32-bit data — and since normalization needs an upcast anyway, the extract
-    *is* the normalize: u8 → i32 → rotate → slice → f32 × (1/255). Output
-    write-back is Pallas-pipelined across grid steps.
-    """
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    ps = out_ref.shape[1]  # out block is (1, ps, ps*3)
-    rows = scratch.shape[1]
-    cols = scratch.shape[2]
-
-    def superblock_dma(j, slot):
-        y = coords_ref[j, 0]
-        x3 = coords_ref[j, 1] * 3
-        y0 = pl.multiple_of((y // _SUBLANE) * _SUBLANE, _SUBLANE)
-        x0 = pl.multiple_of((x3 // _LANE) * _LANE, _LANE)
-        return pltpu.make_async_copy(
-            image_ref.at[pl.ds(y0, rows), pl.ds(x0, cols)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        superblock_dma(0, 0).start()
-
-    @pl.when(i + 1 < n)
-    def _():
-        superblock_dma(i + 1, (i + 1) % 2).start()
-
-    superblock_dma(i, i % 2).wait()
-
-    y = coords_ref[i, 0]
-    x3 = coords_ref[i, 1] * 3
-    dy = y - (y // _SUBLANE) * _SUBLANE
-    dx = x3 - (x3 // _LANE) * _LANE
-    v = scratch[i % 2].astype(jnp.int32)
-    v = _realign(v, dy, dx)
-    out_ref[0] = v[0:ps, 0 : ps * 3].astype(jnp.float32) * (1.0 / 255.0)
-
-
-@functools.partial(jax.jit, static_argnames=("patch_size", "interpret"))
-def gather_normalize_pallas(
-    image: jnp.ndarray,
-    coords: jnp.ndarray,
-    patch_size: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused Pallas gather + /255 normalize: (N, ps, ps, 3) float32 patches
-    from an (H, W, 3) uint8 slide at (N, 2) int32 (y, x) coords.
-
-    The image must carry staging slack (≥PAD_ROWS rows / ≥PAD_COLS cols beyond
-    any requested patch) — use ``stage_slide`` to pad-and-upload a layer once.
-    """
-    h, w, c = image.shape
-    assert c == 3, "gather_normalize_pallas expects RGB slides"
-    n = coords.shape[0]
-    ps = patch_size
-    img2d = image.reshape(h, w * 3)
-    rows = ps + _SUBLANE
-    cols = -(-(ps * 3 + _LANE) // _LANE) * _LANE  # lane-aligned superblock
-
-    out = pl.pallas_call(
-        _gather_norm_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (1, ps, ps * 3),
-                lambda i, coords: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, rows, cols), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, ps, ps * 3), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(coords.astype(jnp.int32), img2d)
-    return out.reshape(n, ps, ps, 3)
-
-
-def stage_slide(arr, extra_rows: int = 0, extra_cols: int = 0) -> jnp.ndarray:
-    """Pad an (H, W, 3) uint8 host array with gather slack and upload to device.
-
-    The slack (PAD_ROWS rows / PAD_COLS cols, plus any caller extra) guarantees
-    every aligned superblock the Pallas kernel reads stays in bounds.
-    """
-    import numpy as np
-
-    arr = np.asarray(arr)
-    padded = np.pad(
-        arr,
-        ((0, PAD_ROWS + extra_rows), (0, PAD_COLS + extra_cols), (0, 0)),
-        mode="edge",
-    )
-    return jnp.asarray(padded)
-
-
 def gather_patches(
     image: jnp.ndarray, coords: jnp.ndarray, patch_size: int
 ) -> jnp.ndarray:
@@ -234,7 +81,7 @@ def gather_patches(
 
     Measured on a v5e chip, XLA's dynamic-slice gather runs at HBM
     speed-of-light (~1.5 TB/s, >10M 224² patches/s), so it is the default on
-    every backend; the fused Pallas ``gather_normalize_pallas`` exists for the
-    gather→float path where the upcast comes for free with the DMA realign.
+    every backend (the retired fused-Pallas alternative:
+    deephisto_tpu/experimental/pallas_gather.py).
     """
     return gather_patches_xla(image, coords, patch_size)

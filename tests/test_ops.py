@@ -9,7 +9,6 @@ from deephisto_tpu.ops import (
     accumulate_coverage,
     categorical,
     gather_patches_multi_xla,
-    gather_normalize_pallas,
     gather_patches_xla,
     gumbel_topk,
     log_weights,
@@ -43,7 +42,11 @@ def test_gather_multi_xla(image):
 
 
 def test_gather_normalize_pallas_interpret_matches_xla(image):
-    from deephisto_tpu.ops.gather import stage_slide
+    # experimental kernel (retired from production; see its module docstring)
+    from deephisto_tpu.experimental.pallas_gather import (
+        gather_normalize_pallas,
+        stage_slide,
+    )
     img = stage_slide(image)
     coords = np.array([[0, 0], [17, 33], [200, 111], [236, 336]], dtype=np.int32)
     a = np.asarray(gather_patches_xla(img, jnp.asarray(coords), 64)).astype(np.float32) / 255.0
