@@ -61,7 +61,7 @@ def main():
 
     H = W = 8192
     PS, STRIDE, BATCH = 224, 112, 256
-    model = get_model(5, arch="vit")
+    model = get_model(5, arch="vit", depth=6)  # config_vit.yaml depth
     variables = init_model(model, pretrained=False)
     image = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, size=(H, W, 3), dtype=np.uint8)

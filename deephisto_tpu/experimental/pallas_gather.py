@@ -20,15 +20,18 @@ Why it is not production (round-1/round-2 findings, VERDICT.md #6):
    realignment is matmul-by-permutation-matrix (shifts as selection matrices
    on the MXU), which costs ~0.4 GFLOP per 224² patch — ~10% of a ResNet-18
    forward — on the MXU, which is the bottleneck of every production
-   pipeline this kernel would feed. Meanwhile XLA's dynamic-slice gather
-   already runs at the HBM roofline (benchmarks/gather_bench_tpu.jsonl,
-   differential-timed), and the /255 upcast fuses into the consumer for
-   free under XLA. There is no bandwidth left to win and only MXU time to
-   lose.
+   pipeline this kernel would feed. XLA's dynamic-slice gather measures
+   ~370k 224² patches/s (benchmarks/gather_bench_tpu.jsonl, differential-
+   timed) — bound by the per-row DMA descriptor rate, NOT HBM bandwidth, so
+   a Pallas kernel issuing one 2-D strided superblock DMA per patch could in
+   principle beat it — but the fused pipelines consume patches ~20× slower
+   than XLA already gathers them, and the /255 upcast fuses into the
+   consumer for free. There is nothing end-to-end to win and only MXU time
+   to lose.
 
 Kept as the scaffold for a future libtpu where unaligned-slice lowering or
-``tpu.dynamic_rotate`` is fixed; revisit only if a profile shows the gather
-path off the HBM roofline.
+``tpu.dynamic_rotate`` is fixed; revisit only if a profile ever shows the
+XLA gather limiting a pipeline (it currently has ~20× headroom).
 """
 
 from __future__ import annotations

@@ -7,9 +7,12 @@ full_samplers.py:164-202): slides live on device as uint8 arrays and patch
 extraction is a DMA gather that never touches the host.
 
 ``gather_patches_xla`` — a ``vmap`` of ``lax.dynamic_slice`` — runs anywhere
-(CPU test meshes, shard_map bodies) and measures at HBM speed-of-light on a
-v5e chip (benchmarks/gather_bench.py), so it is the production default
-(``gather_patches``).
+(CPU test meshes, shard_map bodies) and is the production default
+(``gather_patches``). Measured on a v5e chip with differential timing
+(benchmarks/gather_bench.py): ~370k 224² patches/s, ~56 GB/s read — bound by
+the per-patch-row DMA descriptor rate (224 row transfers of 672 B per patch),
+not HBM bandwidth — which leaves ~20× headroom over what the fused train and
+predict pipelines consume.
 
 A fused Pallas gather+normalize kernel was prototyped and retired: Mosaic on
 current libtpu cannot compile any legal realignment for unaligned patch
@@ -79,9 +82,9 @@ def gather_patches(
 ) -> jnp.ndarray:
     """Production uint8 patch gather.
 
-    Measured on a v5e chip, XLA's dynamic-slice gather runs at HBM
-    speed-of-light (~1.5 TB/s, >10M 224² patches/s), so it is the default on
-    every backend (the retired fused-Pallas alternative:
-    deephisto_tpu/experimental/pallas_gather.py).
+    XLA's dynamic-slice gather: ~370k 224² patches/s on a v5e chip
+    (descriptor-rate-bound; module docstring), ~20× above pipeline
+    consumption, so it is the default on every backend (the retired
+    fused-Pallas alternative: deephisto_tpu/experimental/pallas_gather.py).
     """
     return gather_patches_xla(image, coords, patch_size)
