@@ -44,7 +44,8 @@ def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None =
     img = load_image(image_path, cfg["dataset"]["patch_size"])
     x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0  # match training
     logits = model.apply(
-        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
         x,
         train=False,
     )

@@ -98,7 +98,8 @@ def process_on_device(
     def step(pred_map, count_map, patches_u8, coords):
         x = patches_u8.astype(jnp.float32) / 255.0
         logits = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
             x,
             train=False,
         )
@@ -135,7 +136,8 @@ def batch_predictor(patches: list[Patch], model, variables: dict) -> np.ndarray:
         np.stack([p.data for p in patches]).astype(np.float32) / 255.0
     )
     logits = model.apply(
-        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
         features,
         train=False,
     )

@@ -86,7 +86,8 @@ def _predict_scan(
         patches = gather_patches_xla(image, coords, patch_size)
         x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         logits = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
             x,
             train=False,
         )
@@ -147,7 +148,8 @@ def _predict_random_while(
         patches = gather_patches_xla(image, coords, ps)
         xin = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         logits = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
             xin,
             train=False,
         )

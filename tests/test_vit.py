@@ -104,3 +104,31 @@ def test_flash_kernel_padded_segment_ids_matches_fallback():
         got = np.asarray(_attention(q, k, v, use_flash=True))
     assert got.shape == want.shape  # pad rows sliced off
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_predict_paths_accept_bn_free_models():
+    """predict_full_fused / predict_full_random_fused / batch_predictor must
+    run models without a batch_stats collection (ViT has no BatchNorm) — the
+    round-2 on-chip ViT bench caught a hard variables["batch_stats"] KeyError
+    in the fused pipelines (pipeline.py:89)."""
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.predict import batch_predictor, predict_full_fused
+    from deephisto_tpu.predict.pipeline import predict_full_random_fused
+
+    model = get_model(5, arch="vit", depth=1)
+    variables = init_model(model, input_size=32, pretrained=False)
+    assert "batch_stats" not in variables
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    am, _ = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=32, stride=16,
+        batch_size=4, downscale=16,
+    )
+    assert am.shape == (4, 4)
+    am, _, _, filled, _ = predict_full_random_fused(
+        img, model, variables, n_classes=5, patch_size=32, batch_size=4,
+        downscale=16, speedup=8, seed=0,
+    )
+    assert am.shape == (4, 4) and filled >= 1.0
+    out = batch_predictor(np.zeros((2, 32, 32, 3), np.uint8), model, variables)
+    assert out.shape == (2, 5)
