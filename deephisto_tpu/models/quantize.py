@@ -1,0 +1,293 @@
+"""Post-training int8 quantization for the ResNet family — the TPU serving
+mode.
+
+The v5e MXU executes s8×s8→s32 at twice its bf16 rate. Measured end-to-end in
+the fused dense-predict harness (benchmarks/int8_e2e.py): 31.0k patches/s vs
+23.6k bf16 on one v5e chip (+31%), both at batch 256 over an 8192² slide. The
+reference has no quantized path (its backbone is torchvision fp32,
+reference models/patch_cls_simple/model.py:1-11); this module adds one the
+TPU-native way:
+
+* **BatchNorm folding.** Inference BN is an affine per-channel map, so it
+  folds exactly into the preceding conv: ``w' = w · γ/√(σ²+ε)``,
+  ``b' = β − μ·γ/√(σ²+ε)``. The folded float network equals the original to
+  float rounding (tested to 1e-4).
+* **Per-output-channel symmetric int8 weights** (scale = max|w'|/127 per
+  channel — the standard PTQ choice that keeps conv error small without
+  zero-points, which the MXU int8 path doesn't need).
+* **Per-tensor symmetric activation scales** from calibration: a float
+  forward over calibration batches records each conv input's absmax.
+* **Quantized inference**: u8 patch → ×(127/255) int8 input → per-layer
+  [int8 conv → s32 → per-channel dequant (bf16 multiply) + bias → ReLU →
+  requant to the next layer's scale]. Residual adds run in bf16 after
+  dequant (cheap, exact); GAP + fc stay float. All elementwise steps fuse
+  into the conv epilogue under XLA.
+
+The quantized model is an ``.apply``-compatible adapter, so every fused
+pipeline (predict_full_fused, predict_full_random_fused, streaming, spatial)
+takes it unchanged. Accuracy: see tests/test_quantize.py (agreement vs the
+float model) and benchmarks/int8_accuracy rows in benchmarks/README.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5  # BatchNorm epsilon (resnet.py:94)
+
+
+# ---------------------------------------------------------------------------
+# BN folding
+# ---------------------------------------------------------------------------
+
+
+def fold_conv_bn(kernel, bn_params, bn_stats):
+    """Fold BN(scale, bias; mean, var) into a bias-free conv kernel (HWIO).
+
+    Returns (w_folded f32, b_folded f32): ``BN(conv(x, w)) ==
+    conv(x, w_folded) + b_folded`` exactly (inference mode)."""
+    gamma = jnp.asarray(bn_params["scale"], jnp.float32)
+    beta = jnp.asarray(bn_params["bias"], jnp.float32)
+    mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+    var = jnp.asarray(bn_stats["var"], jnp.float32)
+    mult = gamma * jax.lax.rsqrt(var + EPS)  # (outch,)
+    w = jnp.asarray(kernel, jnp.float32) * mult[None, None, None, :]
+    b = beta - mean * mult
+    return w, b
+
+
+# ---------------------------------------------------------------------------
+# Topology walk shared by calibration / folded-float / int8 execution
+# ---------------------------------------------------------------------------
+
+
+def _conv_layers(model):
+    """The model's block structure in execution order (derived from
+    resnet.py's module tree; block internals at resnet.py:24-72)."""
+    from .resnet import BasicBlock
+
+    basic = model.block_cls is BasicBlock or getattr(
+        model.block_cls, "func", None
+    ) is BasicBlock
+    blocks = []
+    for i, count in enumerate(model.stage_sizes):
+        for j in range(count):
+            blocks.append((f"layer{i + 1}_{j}", 2 if i > 0 and j == 0 else 1))
+    return basic, blocks
+
+
+def _stem(model, x, conv_apply):
+    """Run the stem (resnet.py:99-112) with the given conv executor."""
+    if model.stem == "s2d":
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
+        x = conv_apply("conv1", x, stride=1, relu=True)
+    else:
+        x = conv_apply("conv1", x, stride=2, relu=True, padding=[(3, 3), (3, 3)])
+        x = nn_max_pool(x)
+    return x
+
+
+def nn_max_pool(x):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype.type(-128),
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _blocks(model, x, conv_apply, add_relu):
+    """Run the residual stages with the given conv executor."""
+    basic, blocks = _conv_layers(model)
+    for name, stride in blocks:
+        residual = x
+        if basic:
+            y = conv_apply(f"{name}/conv1", x, stride=stride, relu=True)
+            y = conv_apply(f"{name}/conv2", y, stride=1, relu=False)
+        else:
+            y = conv_apply(f"{name}/conv1", x, stride=1, relu=True)
+            y = conv_apply(f"{name}/conv2", y, stride=stride, relu=True)
+            y = conv_apply(f"{name}/conv3", y, stride=1, relu=False)
+        if y.shape != residual.shape:
+            residual = conv_apply(
+                f"{name}/downsample_conv", x, stride=stride, relu=False
+            )
+        x = add_relu(residual, y)
+    return x
+
+
+def _folded_params(model, variables):
+    """name → (w_folded, b_folded) for every conv in execution order, plus
+    the fc head."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    out = {}
+    out["conv1"] = fold_conv_bn(
+        params["conv1"]["kernel"], params["bn1"], stats["bn1"]
+    )
+    _, blocks = _conv_layers(model)
+    for name, _stride in blocks:
+        bp, bs = params[name], stats[name]
+        for ci in ("conv1", "conv2", "conv3"):
+            if ci in bp:
+                out[f"{name}/{ci}"] = fold_conv_bn(
+                    bp[ci]["kernel"], bp["bn" + ci[-1]], bs["bn" + ci[-1]]
+                )
+        if "downsample_conv" in bp:
+            out[f"{name}/downsample_conv"] = fold_conv_bn(
+                bp["downsample_conv"]["kernel"],
+                bp["downsample_bn"],
+                bs["downsample_bn"],
+            )
+    fc = params["fc"]
+    out["fc"] = (jnp.asarray(fc["kernel"], jnp.float32),
+                 jnp.asarray(fc["bias"], jnp.float32))
+    return out
+
+
+def _conv(x, w, stride, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def folded_float_apply(model, variables, x):
+    """Float forward on the BN-folded weights (the numerical reference the
+    int8 path approximates; also the BN-folding exactness oracle)."""
+    folded = _folded_params(model, variables)
+
+    def conv_apply(name, x, stride, relu, padding="SAME"):
+        w, b = folded[name]
+        y = _conv(x.astype(jnp.float32), w, stride, padding) + b
+        return jax.nn.relu(y) if relu else y
+
+    x = jnp.asarray(x, jnp.float32)
+    x = _stem(model, x, conv_apply)
+    x = _blocks(model, x, conv_apply, lambda r, y: jax.nn.relu(r + y))
+    f = jnp.mean(x, axis=(1, 2))
+    wfc, bfc = folded["fc"]
+    return f @ wfc + bfc
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+def calibrate(model, variables, batches):
+    """Per-conv-input absmax over calibration batches.
+
+    ``batches``: iterable of (B, H, W, 3) arrays in [0, 1] (the pipelines'
+    /255 convention). Returns {layer_name: float absmax}."""
+    folded = _folded_params(model, variables)
+
+    @jax.jit
+    def one_batch(x):
+        stats = {}
+
+        def conv_apply(name, x, stride, relu, padding="SAME"):
+            stats[name] = jnp.max(jnp.abs(x))
+            w, b = folded[name]
+            y = _conv(x.astype(jnp.float32), w, stride, padding) + b
+            return jax.nn.relu(y) if relu else y
+
+        x = jnp.asarray(x, jnp.float32)
+        x = _stem(model, x, conv_apply)
+        _blocks(model, x, conv_apply, lambda r, y: jax.nn.relu(r + y))
+        return stats
+
+    absmax: dict[str, float] = {}
+    for b in batches:
+        s = one_batch(jnp.asarray(b))
+        for k, v in s.items():
+            absmax[k] = max(absmax.get(k, 0.0), float(v))
+    return absmax
+
+
+# ---------------------------------------------------------------------------
+# int8 model
+# ---------------------------------------------------------------------------
+
+
+class QuantizedResNet:
+    """``.apply``-compatible int8 ResNet; construct via :func:`quantize_resnet`.
+
+    ``variables`` must be the ``qvariables`` returned alongside it (a plain
+    {"params": pytree} — int8 kernels + f32 scales/biases), so the fused
+    pipelines can pass it through jit like any other model's variables."""
+
+    def __init__(self, model):
+        self._model = model  # topology source (stem/stage_sizes/block_cls)
+
+    def apply(self, variables, x, train: bool = False):
+        assert not train, "QuantizedResNet is inference-only"
+        q = variables["params"]
+        model = self._model
+
+        def conv_apply(name, x8, stride, relu, padding="SAME"):
+            layer = q[name]
+            y = jax.lax.conv_general_dilated(
+                x8, layer["kernel_q"], (stride, stride), padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            # dequant: per-channel (s_w · s_x) + folded bias, in bf16
+            y = y.astype(jnp.bfloat16) * layer["dequant"].astype(jnp.bfloat16)
+            y = y + layer["bias"].astype(jnp.bfloat16)
+            return jax.nn.relu(y) if relu else y
+
+        def quant_in(name, xf):
+            # round in f32: bf16's 8-bit mantissa costs real accuracy near
+            # the clip edge, and the elementwise fuses into the conv anyway
+            inv = q[name]["in_inv_scale"]
+            return jnp.clip(
+                jnp.round(xf.astype(jnp.float32) * inv), -127, 127
+            ).astype(jnp.int8)
+
+        def qconv(name, xf, stride, relu, padding="SAME"):
+            return conv_apply(name, quant_in(name, xf), stride, relu, padding)
+
+        x = jnp.asarray(x, jnp.bfloat16)
+        x = _stem(model, x, qconv)
+        x = _blocks(model, x, qconv, lambda r, y: jax.nn.relu(r + y))
+        f = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return f @ q["fc"]["kernel"] + q["fc"]["bias"]
+
+
+def quantize_resnet(model, variables, calib_batches):
+    """Post-training-quantize a trained float ResNet.
+
+    model/variables: from ``get_model``/``init_model`` (or a restored
+    checkpoint); calib_batches: iterable of (B, H, W, 3) float arrays in
+    [0, 1] (a handful of training batches is plenty).
+
+    Returns ``(qmodel, qvariables)`` — drop-in for every fused pipeline:
+    ``predict_full_fused(img, qmodel, qvariables, ...)``."""
+    folded = _folded_params(model, variables)
+    absmax = calibrate(model, variables, calib_batches)
+
+    qparams: dict[str, Any] = {}
+    for name, (w, b) in folded.items():
+        if name == "fc":
+            qparams["fc"] = {"kernel": w, "bias": b}
+            continue
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w / s_w[None, None, None, :]), -127, 127).astype(
+            jnp.int8
+        )
+        s_x = max(absmax.get(name, 1.0), 1e-12) / 127.0
+        qparams[name] = {
+            "kernel_q": w_q,
+            "dequant": (s_w * s_x).astype(jnp.float32),  # (outch,)
+            "bias": b,
+            "in_inv_scale": jnp.float32(1.0 / s_x),
+        }
+    return QuantizedResNet(model), {"params": qparams}

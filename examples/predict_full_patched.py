@@ -34,7 +34,16 @@ if __name__ == "__main__":
         action="store_true",
         help="use the reference-style host loop (generic sampler + batch_predictor)",
     )
+    parser.add_argument(
+        "--int8",
+        action="store_true",
+        help="post-training-quantize the model to int8 before predicting "
+        "(v5e serving mode, ~1.3x faster; calibrates on patches from the "
+        "slide itself; fused paths only)",
+    )
     args = parser.parse_args()
+    if args.int8 and args.host_loop:
+        parser.error("--int8 applies to the fused device paths, not --host_loop")
 
     img_path = get_img_ano_paths(example_dataset(), sample="test")[0][0]
 
@@ -92,6 +101,26 @@ if __name__ == "__main__":
         with open_slide(img_path) as slide:
             h, w = slide.layer_size(layer)
             image = slide.get_region_from_layer(layer, (0, 0), (h, w))
+        if args.int8:
+            # serving mode: calibrate activation scales on patches sampled
+            # from this slide, then swap in the int8 model (quantize.py)
+            import numpy as np
+
+            from deephisto_tpu.models import quantize_resnet
+
+            rng = np.random.default_rng(0)
+            calib = []
+            for _ in range(2):
+                ys = rng.integers(0, h - 224, size=32)
+                xs = rng.integers(0, w - 224, size=32)
+                calib.append(
+                    np.stack(
+                        [image[y : y + 224, x : x + 224] for y, x in zip(ys, xs)]
+                    ).astype(np.float32)
+                    / 255.0
+                )
+            model, variables = quantize_resnet(model, variables, calib)
+            print("quantized to int8 (per-channel weights, calibrated activations)")
         if random_sampler:
             pred, _, _, filled, steps = predict_full_random_fused(
                 image, model, variables, n_classes=5, patch_size=224,

@@ -1,0 +1,104 @@
+"""Post-training int8 quantization: BN-folding exactness, quantized-logit
+fidelity, and drop-in compatibility with the fused pipelines.
+
+The serving-mode rationale and on-chip speedup (31.0k vs 23.6k patches/s on
+v5e) live in deephisto_tpu/models/quantize.py and benchmarks/int8_e2e.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+from deephisto_tpu.models.quantize import folded_float_apply, quantize_resnet
+from deephisto_tpu.models.resnet import build_resnet
+
+CONFIGS = [(18, "s2d"), (18, "imagenet"), (50, "imagenet")]
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return rng.random((4, 64, 64, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize("depth,stem", CONFIGS)
+def test_bn_folding_exact(depth, stem, batch):
+    """BN folds into the conv exactly: the folded-float forward equals the
+    original model run in float32 to rounding (measured ~1e-7)."""
+    model = get_model(5, depth=depth, stem=stem)
+    variables = init_model(model, input_size=64, pretrained=False)
+    fmodel = build_resnet(5, depth=depth, dtype=jnp.float32, stem=stem)
+    ref = np.asarray(
+        fmodel.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            batch,
+            train=False,
+        )
+    )
+    folded = np.asarray(folded_float_apply(model, variables, batch))
+    np.testing.assert_allclose(folded, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("depth,stem", CONFIGS)
+def test_quantized_logits_track_float(depth, stem, batch):
+    """int8 logits stay close to the folded-float logits: high cosine, small
+    absolute error, and top-1 agreement wherever the float margin exceeds the
+    quantization noise (random-init margins can tie at ~0)."""
+    model = get_model(5, depth=depth, stem=stem)
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    fl = np.asarray(folded_float_apply(model, variables, batch))
+    ql = np.asarray(qmodel.apply(qvars, jnp.asarray(batch)))
+
+    cos = (ql * fl).sum(1) / (
+        np.linalg.norm(ql, axis=1) * np.linalg.norm(fl, axis=1) + 1e-12
+    )
+    assert cos.min() > 0.995, f"cosine {cos.min()}"
+    err = np.abs(ql - fl).max()
+    assert err < 0.05, f"logit err {err}"
+    top2 = np.sort(fl, axis=1)
+    margin = top2[:, -1] - top2[:, -2]
+    decided = margin > 0.02
+    if decided.any():
+        agree = (ql.argmax(1) == fl.argmax(1))[decided].mean()
+        assert agree == 1.0
+
+
+def test_quantized_model_through_fused_predict(batch):
+    """The quantized model is a drop-in for the fused pipelines (same .apply
+    surface, variables passed through jit)."""
+    from deephisto_tpu.predict import predict_full_fused
+
+    model = get_model(5, depth=18, stem="imagenet")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    img = (np.random.default_rng(1).random((128, 128, 3)) * 255).astype(np.uint8)
+    am_q, score_q = predict_full_fused(
+        img, qmodel, qvars, n_classes=5, patch_size=64, stride=32,
+        batch_size=4, downscale=16,
+    )
+    am_f, score_f = predict_full_fused(
+        img, model, variables, n_classes=5, patch_size=64, stride=32,
+        batch_size=4, downscale=16,
+    )
+    assert am_q.shape == am_f.shape == (8, 8)
+    # stitched score maps track the float model's closely
+    q = np.asarray(score_q)
+    f = np.asarray(score_f)
+    denom = np.abs(f).max() + 1e-12
+    assert np.abs(q - f).max() / denom < 0.08
+
+
+def test_quantized_variables_are_int8():
+    """The conv kernels actually ship as int8 (the point of the exercise)."""
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    x = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    _, qvars = quantize_resnet(model, variables, [x])
+    kernels = [
+        v["kernel_q"] for k, v in qvars["params"].items() if k != "fc"
+    ]
+    assert kernels and all(w.dtype == jnp.int8 for w in kernels)
