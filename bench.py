@@ -38,30 +38,42 @@ def main():
 
     n_patches = len(dense_coords(H, W, PS, STRIDE))
 
-    # compile + warm up
-    argmax_map, score_map = predict_full_fused(
-        image, model, variables, n_classes=5, patch_size=PS, stride=STRIDE,
-        batch_size=BATCH,
-    )
-    float(score_map.sum())
-
-    # best-of-N: host/tunnel scheduling noise varies run wall-clock by ±30%,
-    # and the steady-state capability is what the metric measures
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        argmax_map, score_map = predict_full_fused(
-            image, model, variables, n_classes=5, patch_size=PS, stride=STRIDE,
+    def best_of(m, v, reps=5):
+        _, score = predict_full_fused(
+            image, m, v, n_classes=5, patch_size=PS, stride=STRIDE,
             batch_size=BATCH,
         )
-        # force real completion: block_until_ready is unreliable on tunneled
-        # platforms, so fetch a scalar
-        float(score_map.sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        float(score.sum())  # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, score = predict_full_fused(
+                image, m, v, n_classes=5, patch_size=PS, stride=STRIDE,
+                batch_size=BATCH,
+            )
+            # force real completion: block_until_ready is unreliable on
+            # tunneled platforms, so fetch a scalar
+            float(score.sum())
+            times.append(time.perf_counter() - t0)
+        # best-of-N: host/tunnel scheduling noise varies run wall-clock by
+        # ±30%, and the steady-state capability is what the metric measures
+        return min(times)
 
+    dt = best_of(model, variables)
     value = n_patches / dt
+
+    # int8 serving mode (models/quantize.py): same model post-training-
+    # quantized; accuracy parity on the trained demo checkpoint is recorded
+    # in benchmarks/int8_accuracy_tpu.jsonl (top-1 delta 0.0 on 900 patches)
+    try:
+        from deephisto_tpu.models.quantize import quantize_resnet
+
+        calib = [rng.random((32, PS, PS, 3)).astype(np.float32)]
+        qmodel, qvars = quantize_resnet(model, variables, calib)
+        int8_value = n_patches / best_of(qmodel, qvars, reps=3)
+    except Exception:
+        int8_value = None
+
     print(
         json.dumps(
             {
@@ -74,6 +86,11 @@ def main():
                     "patches": n_patches,
                     "wall_clock_s": round(dt, 4),
                     "model": "ResNet-18 bf16 (s2d stem)",
+                    "int8_serving_patches_per_s": (
+                        round(int8_value, 1) if int8_value else None
+                    ),
+                    "int8_note": "PTQ serving mode, top-1 parity delta 0.0 "
+                    "vs float on the demo checkpoint",
                     "backend": jax.default_backend(),
                 },
             }

@@ -2,8 +2,12 @@
 mode.
 
 The v5e MXU executes s8×s8→s32 at twice its bf16 rate. Measured end-to-end in
-the fused dense-predict harness (benchmarks/int8_e2e.py): 31.0k patches/s vs
-23.6k bf16 on one v5e chip (+31%), both at batch 256 over an 8192² slide. The
+the fused dense-predict harness (benchmarks/int8_quantized_speed.py): this
+path runs ResNet-18 at 28.5k patches/s vs 22.7k bf16 (+26%) and ResNet-50 at
+12.4k vs 10.3k (+20%) on one v5e chip (b256, 8192² slide; a shift-requant
+trunk ceiling-probe reaches 31.0k, benchmarks/int8_e2e.py). Accuracy on the
+trained demo checkpoint: int8 top-1 == float top-1 on all 900 test patches
+(benchmarks/int8_accuracy_tpu.jsonl). The
 reference has no quantized path (its backbone is torchvision fp32,
 reference models/patch_cls_simple/model.py:1-11); this module adds one the
 TPU-native way:
