@@ -236,13 +236,16 @@ class QuantizedResNet:
         q = variables["params"]
         model = self._model
 
-        def conv_apply(name, x8, stride, relu, padding="SAME"):
-            layer = q[name]
-            y = jax.lax.conv_general_dilated(
-                x8, layer["kernel_q"], (stride, stride), padding,
+        def conv_s32(name, x8, stride, padding="SAME"):
+            return jax.lax.conv_general_dilated(
+                x8, q[name]["kernel_q"], (stride, stride), padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
+
+        def conv_apply(name, x8, stride, relu, padding="SAME"):
+            layer = q[name]
+            y = conv_s32(name, x8, stride, padding)
             # dequant: per-channel (s_w · s_x) + folded bias, in bf16
             y = y.astype(jnp.bfloat16) * layer["dequant"].astype(jnp.bfloat16)
             y = y + layer["bias"].astype(jnp.bfloat16)
@@ -259,9 +262,48 @@ class QuantizedResNet:
         def qconv(name, xf, stride, relu, padding="SAME"):
             return conv_apply(name, quant_in(name, xf), stride, relu, padding)
 
+        def conv_to_int8(name, next_name, x8, stride):
+            # fused intra-block edge: this conv's output feeds EXACTLY one
+            # quantized conv, so dequant·relu·requant collapse into a single
+            # f32 epilogue on the s32 accumulator — one rounding instead of
+            # two, no bf16 intermediate. relu commutes with the positive
+            # requant scale, so this is numerically tighter, not looser.
+            layer = q[name]
+            inv = q[next_name]["in_inv_scale"]
+            y = conv_s32(name, x8, stride).astype(jnp.float32)
+            y = y * (layer["dequant"] * inv) + layer["bias"] * inv
+            return jnp.clip(jnp.round(jax.nn.relu(y)), -127, 127).astype(jnp.int8)
+
+        def block_walk(x):
+            # mirrors _blocks (resnet.py:24-72) with the int8 edge fusion;
+            # block INPUTS/OUTPUTS stay bf16 (two consumers: conv + residual)
+            basic, blocks = _conv_layers(model)
+            for name, stride in blocks:
+                residual = x
+                x8 = quant_in(f"{name}/conv1", x)
+                if basic:
+                    h = conv_to_int8(
+                        f"{name}/conv1", f"{name}/conv2", x8, stride
+                    )
+                    y = conv_apply(f"{name}/conv2", h, stride=1, relu=False)
+                else:
+                    h = conv_to_int8(f"{name}/conv1", f"{name}/conv2", x8, 1)
+                    h = conv_to_int8(
+                        f"{name}/conv2", f"{name}/conv3", h, stride
+                    )
+                    y = conv_apply(f"{name}/conv3", h, stride=1, relu=False)
+                if y.shape != residual.shape:
+                    residual = conv_apply(
+                        f"{name}/downsample_conv",
+                        quant_in(f"{name}/downsample_conv", x),
+                        stride, relu=False,
+                    )
+                x = jax.nn.relu(residual + y)
+            return x
+
         x = jnp.asarray(x, jnp.bfloat16)
         x = _stem(model, x, qconv)
-        x = _blocks(model, x, qconv, lambda r, y: jax.nn.relu(r + y))
+        x = block_walk(x)
         f = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return f @ q["fc"]["kernel"] + q["fc"]["bias"]
 
