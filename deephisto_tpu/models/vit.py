@@ -1,10 +1,14 @@
 """Vision Transformer patch classifier (second model family, TPU-native).
 
 A framework extension beyond the reference's single ResNet family: a compact
-ViT whose attention runs through JAX's official **Pallas flash-attention
-kernel** (`jax.experimental.pallas.ops.tpu.flash_attention`) on TPU — the
-tiled online-softmax kernel that never materializes the (N, N) score matrix —
-with a plain jnp attention fallback elsewhere (CPU test meshes).
+ViT with **length-adaptive attention**: sequences of ``FLASH_MIN_SEQ`` tokens
+or more run through JAX's official Pallas flash-attention kernel
+(`jax.experimental.pallas.ops.tpu.flash_attention`, the tiled online-softmax
+kernel that never materializes the (N, N) score matrix); shorter sequences —
+including the production 224²/16 = 196-token shape — use plain jnp attention,
+which measured 2.2× FASTER there (the score matrix is tiny and the kernel's
+padding/launch overhead dominates; see FLASH_MIN_SEQ). CPU test meshes always
+take the jnp path; the kernel itself stays parity-tested in interpret mode.
 
 Architecture: conv patch-embedding (16px tokens), pre-LN transformer blocks,
 mean pooling, linear head. bf16 compute, f32 params, NHWC input like every
@@ -27,6 +31,16 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+# Below this sequence length the plain jnp attention BEATS the Pallas flash
+# kernel on TPU: at the production 224²/16 = 196-token shape the score matrix
+# is only 196² elements — there is nothing worth tiling away, while the
+# kernel pays 256-padding, SegmentIds masking, and per-block launch overhead.
+# Measured end-to-end (fused dense predict, v5e, b256): jnp 12.0k patches/s
+# vs flash 5.5k — 2.2× in favor of jnp. Flash wins again once the (N, N)
+# matrix stops fitting comfortably; 1024 is a conservative crossover.
+FLASH_MIN_SEQ = 1024
 
 
 def _attention(q, k, v, use_flash: bool):
@@ -80,7 +94,7 @@ class MHA(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.heads, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = _attention(q, k, v, use_flash=_on_tpu())
+        out = _attention(q, k, v, use_flash=_on_tpu() and n >= FLASH_MIN_SEQ)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
