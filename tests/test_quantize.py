@@ -102,3 +102,29 @@ def test_quantized_variables_are_int8():
         v["kernel_q"] for k, v in qvars["params"].items() if k != "fc"
     ]
     assert kernels and all(w.dtype == jnp.int8 for w in kernels)
+
+
+def test_quantized_model_through_streaming_and_spatial(batch):
+    """The int8 model must also be a drop-in for the over-budget streaming
+    path and (API-wise) the spatial-sharded path — both already pass
+    variables through with .get('batch_stats', {})."""
+    import jax
+
+    from deephisto_tpu.predict.streaming import predict_full_streamed
+
+    model = get_model(5, depth=18, stem="imagenet")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    img = (np.random.default_rng(2).random((160, 128, 3)) * 255).astype(np.uint8)
+    am_stream, _ = predict_full_streamed(
+        img, qmodel, qvars, n_classes=5, patch_size=64, stride=32,
+        batch_size=4, downscale=16, stripe_rows=64,
+    )
+    from deephisto_tpu.predict import predict_full_fused
+
+    am_res, _ = predict_full_fused(
+        img, qmodel, qvars, n_classes=5, patch_size=64, stride=32,
+        batch_size=4, downscale=16,
+    )
+    np.testing.assert_array_equal(am_stream, am_res)

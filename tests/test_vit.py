@@ -132,3 +132,30 @@ def test_fused_predict_paths_accept_bn_free_models():
     assert am.shape == (4, 4) and filled >= 1.0
     out = batch_predictor(np.zeros((2, 32, 32, 3), np.uint8), model, variables)
     assert out.shape == (2, 5)
+
+
+def test_attention_dispatch_is_length_adaptive(monkeypatch):
+    """Short sequences must take the jnp path even on TPU: at 196 tokens the
+    flash kernel measured 2.2x SLOWER end-to-end than plain attention
+    (benchmarks/README.md 'Attention-path finding'). The kernel engages only
+    at FLASH_MIN_SEQ tokens or more."""
+    import deephisto_tpu.models.vit as vitmod
+
+    calls = {"flash": 0}
+
+    def fake_attention(q, k, v, use_flash):
+        calls["flash"] += int(use_flash)
+        return v
+
+    monkeypatch.setattr(vitmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(vitmod, "_attention", fake_attention)
+
+    mha = vitmod.MHA(dim=64, heads=2)
+    x_short = jnp.zeros((1, vitmod.FLASH_MIN_SEQ - 1, 64))
+    params = mha.init(jax.random.key(0), x_short)
+    mha.apply(params, x_short)
+    assert calls["flash"] == 0, "short sequence must not take the flash kernel"
+    x_long = jnp.zeros((1, vitmod.FLASH_MIN_SEQ, 64))
+    params = mha.init(jax.random.key(0), x_long)
+    mha.apply(params, x_long)
+    assert calls["flash"] > 0, "long sequence must take the flash kernel"
