@@ -58,14 +58,24 @@ def bench_region_sampling(results):
         one_image_for_batch=True, seed=0, verbose=False,
     )
     n, b = 40, 64
-    fn = jax.jit(lambda key: sampler.make_sample_fn(b)(key)[0].astype(jnp.int32).sum())
+    # ONE device program for all n batches: a host loop of independent
+    # dispatches both pays the tunnel's per-dispatch cost n times and (the
+    # round-1 bug) lets an unfetched-result loop under-measure — only the
+    # last program's scalar was fetched, so the wall-clock never provably
+    # covered all n executions. The scan chains an accumulator through every
+    # batch, so nothing is dead and one scalar fetch forces the whole run.
+    sample_fn = sampler.make_sample_fn(b)
+
+    @jax.jit
+    def run_scan(key):
+        def body(acc, k):
+            patches, cls, _, _ = sample_fn(k)
+            return acc + patches.astype(jnp.int32).sum() + cls.sum(), None
+        acc, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, n))
+        return acc
 
     def run():
-        keys = jax.random.split(jax.random.key(0), n)
-        acc = 0
-        for k in keys:
-            acc = fn(k)
-        float(acc)
+        float(run_scan(jax.random.key(0)))
 
     dt = _measure(run)
     results["region_rnd_sampling_patches_per_s"] = round(n * b / dt, 1)
