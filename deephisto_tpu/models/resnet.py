@@ -85,7 +85,11 @@ class ResNet(nn.Module):
     stem: str = "imagenet"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, features: bool = False):
+        """features=True returns the pre-GAP stride-32 feature map (NHWC) —
+        the fully-convolutional surface behind predict/fcn.py's overlap-free
+        whole-slide mode. Initialize with features=False so the fc params
+        exist; apply with features=True ignores them."""
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(
             nn.BatchNorm,
@@ -122,6 +126,8 @@ class ResNet(nn.Module):
                     name=f"layer{i + 1}_{j}",
                 )(x)
 
+        if features:
+            return x
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
         return x.astype(jnp.float32)

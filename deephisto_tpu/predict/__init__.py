@@ -7,6 +7,7 @@ from .full_patched import (
     perform_and_save_visualizations,
     process_on_device,
 )
+from .fcn import fcn_equivalent_patches, predict_full_fcn
 from .pipeline import dense_coords, predict_full_fused, predict_full_random_fused
 from .streaming import predict_full_streamed
 
@@ -14,7 +15,9 @@ __all__ = [
     "ImagePredictorPatched",
     "batch_predictor",
     "dense_coords",
+    "fcn_equivalent_patches",
     "load_model",
+    "predict_full_fcn",
     "perform_and_save_visualizations",
     "predict_full_fused",
     "predict_full_random_fused",

@@ -1,0 +1,209 @@
+"""Overlap-free fully-convolutional full-WSI prediction ("fcn" mode).
+
+The reference's dense predict slides a 224 window at stride 112
+(reference examples/predict_full_patched.py:150-166), so the backbone
+recomputes every pixel 4x. This mode removes that structural waste the
+TPU-native way: the backbone runs **once per pixel** as a fully-convolutional
+program over large tiles, producing a stride-32 feature map F for the whole
+slide; every 224-window's GAP+fc logits are then recovered exactly from F by
+average pooling, because GAP and the fc head are linear:
+
+    window_logits(k) = fc(mean_{7x7}(F[k:k+7, l:l+7]))      (224/32 = 7)
+
+and the stitched class map — in the reference, the per-cell SUM of logits of
+all windows covering the cell (predict_full_patched.py:49-54) — becomes a
+per-cell AVERAGE over the covering windows. Because the per-cell window count
+is the same for every class, argmax is invariant to sum-vs-average, so the
+class map is directly comparable to the exact path's. The fcn window set is
+every 32-aligned 224-window (stride 32, a 3.5x denser ensemble than the exact
+path's stride-112 grid), which is the natural grid the feature map gives for
+free.
+
+What is NOT bit-identical to the exact patch path (this is a documented
+non-exact mode; measured agreement: benchmarks/fcn_agreement.py):
+
+* per-window features see REAL neighboring pixels where the patch path sees
+  each conv's zero padding at patch borders — the fcn features are arguably
+  the better-conditioned ones;
+* tiles are computed with a finite halo (default 96 px), so features within
+  ~RF of a tile seam differ slightly from a whole-slide conv;
+* map cells past the last 32-aligned window (possible when (H - 224) % 32 >=
+  downscale) replicate the last covered cell (the exact path covers them with
+  its extra last-row/col coords, pipeline.dense_coords).
+
+Throughput accounting: ``patches/s`` for this mode means *equivalent*
+stride-112 patches — len(dense_coords(h, w, 224, 112)) / wall-clock — so the
+number is directly comparable with predict_full_fused rows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline import dense_coords
+
+FEATURE_STRIDE = 32  # ResNet total stride: stem /4 x stage strides 1,2,2,2
+
+
+def _avg_pool_f32(x, span: int):
+    """VALID sum-pool of span x span (stride 1) in f32, / span^2."""
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        (span, span, 1),
+        (1, 1, 1),
+        "VALID",
+    )
+    return s / float(span * span)
+
+
+def _backbone_features(model, variables, x):
+    return model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        x,
+        train=False,
+        features=True,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fcn_program(model, tile, halo, n_classes, patch_size, downscale, h, w):
+    """Build (and cache) the jitted whole-slide fcn program for concrete
+    sizes. ``model`` must be hashable (flax Modules are frozen dataclasses;
+    QuantizedResNet defines __hash__ on its topology)."""
+    fs = FEATURE_STRIDE
+    wf = patch_size // fs  # feature cells per window axis (224/32 = 7)
+    up = fs // downscale  # map cells per feature cell (32/16 = 2)
+    ty = -(-h // tile)
+    tx = -(-w // tile)
+    hp, wp = ty * tile, tx * tile
+    ft = tile // fs  # feature rows per tile
+    fh, fw = hp // fs, wp // fs
+    ky = (h - patch_size) // fs + 1  # valid 32-aligned window corners per axis
+    kx = (w - patch_size) // fs + 1
+    mh, mw = h // downscale, w // downscale
+    iy = -(-mh // up)  # trailing-average positions needed per axis
+    ix = -(-mw // up)
+
+    @jax.jit
+    def program(padded, variables):
+        # ---- stage 1: backbone features, one tile at a time -------------
+        def tile_step(feat, idx):
+            i = idx // tx
+            j = idx % tx
+            xin = jax.lax.dynamic_slice(
+                padded,
+                (i * tile, j * tile, 0),
+                (tile + 2 * halo, tile + 2 * halo, 3),
+            )
+            xin = xin.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            f = _backbone_features(model, variables, xin[None])[0]
+            hh = halo // fs
+            f = f[hh : hh + ft, hh : hh + ft]
+            feat = jax.lax.dynamic_update_slice(
+                feat, f.astype(jnp.bfloat16), (i * ft, j * ft, 0)
+            )
+            return feat, None
+
+        # channel count from the fc kernel (works for float and int8 variables)
+        fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
+        fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
+        feat0 = jnp.zeros((fh, fw, fc_kernel.shape[0]), jnp.bfloat16)
+        feat, _ = jax.lax.scan(tile_step, feat0, jnp.arange(ty * tx))
+
+        # ---- stage 2: window logits on the 32-aligned grid --------------
+        pooled = _avg_pool_f32(feat, wf)[:ky, :kx]  # (ky, kx, C) f32
+        wlog = pooled @ fc_kernel + fc_bias  # (ky, kx, n_classes)
+
+        # ---- stage 3: per-cell average over covering windows ------------
+        # cell m is covered by windows k in [m//up - wf + 1, m//up] (clipped);
+        # trailing count-normalized pool of span wf, then repeat-upsample.
+        def trail(a, n_out, k_valid):
+            # a: (k_valid, ...) -> (n_out, ...) trailing averages over the
+            # <= wf windows ending at each position (count-normalized)
+            pad_front = wf - 1
+            pad_back = max(0, n_out - k_valid)
+            ap = jnp.pad(a, [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1))
+            s = jax.lax.reduce_window(
+                ap, 0.0, jax.lax.add,
+                (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
+            )[:n_out]
+            ones = jnp.pad(
+                jnp.ones((k_valid,) + (1,) * (a.ndim - 1), a.dtype),
+                [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1),
+            )
+            cnt = jax.lax.reduce_window(
+                ones, 0.0, jax.lax.add,
+                (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
+            )[:n_out]
+            return s / jnp.maximum(cnt, 1.0)
+
+        a = trail(wlog, iy, ky)
+        a = jnp.swapaxes(a, 0, 1)
+        a = trail(a, ix, kx)
+        a = jnp.swapaxes(a, 0, 1)  # (iy, ix, n_classes)
+        # replicate the last covered row/col into any uncovered tail cells
+        # (cells past the last 32-aligned window; module docstring)
+        idx_y = jnp.minimum(jnp.arange(iy), ky + wf - 2)
+        idx_x = jnp.minimum(jnp.arange(ix), kx + wf - 2)
+        a = a[idx_y][:, idx_x]
+        score = jnp.repeat(jnp.repeat(a, up, axis=0), up, axis=1)[:mh, :mw]
+        return jnp.argmax(score, axis=-1), score
+
+    return program
+
+
+def predict_full_fcn(
+    image,
+    model,
+    variables: dict,
+    n_classes: int,
+    patch_size: int = 224,
+    downscale: int = 16,
+    tile: int = 1792,
+    halo: int = 96,
+):
+    """Overlap-free dense full-WSI prediction (module docstring for the
+    design). Drop-in alternative to ``predict_full_fused`` — same return
+    shape ``(argmax_map, score_map)`` with score_map holding per-cell
+    *average* (not sum) window logits.
+
+    model must be a ResNet-family backbone (the fcn reduction relies on the
+    stride-32 conv feature map + linear GAP/fc head); ViT is not supported.
+    tile/halo: tiles of ``tile``^2 px are processed with ``halo`` px of
+    context on each side (both must be multiples of 32).
+    """
+    if patch_size % FEATURE_STRIDE:
+        raise ValueError(f"patch_size must be a multiple of {FEATURE_STRIDE}")
+    if FEATURE_STRIDE % downscale:
+        raise ValueError(f"downscale must divide {FEATURE_STRIDE}")
+    if tile % FEATURE_STRIDE or halo % FEATURE_STRIDE:
+        raise ValueError(f"tile and halo must be multiples of {FEATURE_STRIDE}")
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if h < patch_size or w < patch_size:
+        raise ValueError(
+            f"layer size {(h, w)} is smaller than patch_size {patch_size}"
+        )
+    ty = -(-h // tile)
+    tx = -(-w // tile)
+    padded = jnp.pad(
+        image,
+        ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+    )
+    program = _make_fcn_program(
+        model, tile, halo, n_classes, patch_size, downscale, h, w
+    )
+    argmax_map, score = program(padded, variables)
+    return np.asarray(argmax_map), score
+
+
+def fcn_equivalent_patches(h: int, w: int, patch_size: int = 224, stride: int = 112) -> int:
+    """Number of exact-mode patches an fcn run replaces (for patches/s rows)."""
+    return len(dense_coords(h, w, patch_size, stride))

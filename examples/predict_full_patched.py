@@ -41,9 +41,18 @@ if __name__ == "__main__":
         "(v5e serving mode, ~1.3x faster; calibrates on patches from the "
         "slide itself; fused paths only)",
     )
+    parser.add_argument(
+        "--fcn",
+        action="store_true",
+        help="overlap-free fully-convolutional dense mode: backbone runs once "
+        "per pixel instead of 4x (stride-112 windows), ~4x faster; non-exact "
+        "vs the patch path (deephisto_tpu/predict/fcn.py docstring)",
+    )
     args = parser.parse_args()
     if args.int8 and args.host_loop:
         parser.error("--int8 applies to the fused device paths, not --host_loop")
+    if args.fcn and args.host_loop:
+        parser.error("--fcn is a fused device path, not --host_loop")
 
     img_path = get_img_ano_paths(example_dataset(), sample="test")[0][0]
 
@@ -121,7 +130,14 @@ if __name__ == "__main__":
                 )
             model, variables = quantize_resnet(model, variables, calib)
             print("quantized to int8 (per-channel weights, calibrated activations)")
-        if random_sampler:
+        if args.fcn:
+            from deephisto_tpu.predict import predict_full_fcn
+
+            pred, _ = predict_full_fcn(
+                image, model, variables, n_classes=5, patch_size=224,
+                downscale=downscale_vis,
+            )
+        elif random_sampler:
             pred, _, _, filled, steps = predict_full_random_fused(
                 image, model, variables, n_classes=5, patch_size=224,
                 batch_size=64, downscale=downscale_vis, speedup=16,

@@ -1,0 +1,165 @@
+"""Tests for the overlap-free fully-convolutional predict mode
+(deephisto_tpu/predict/fcn.py).
+
+The fcn map's contract: per-cell AVERAGE of the logits of every 32-aligned
+patch-window covering the cell (vs the exact path's SUM over stride-112
+windows — argmax-equivalent ensembles; fcn.py module docstring). The brute
+force here recomputes that contract from the model's own feature map."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deephisto_tpu.models.resnet import BasicBlock, ResNet
+from deephisto_tpu.predict import predict_full_fused
+from deephisto_tpu.predict.fcn import (
+    FEATURE_STRIDE,
+    fcn_equivalent_patches,
+    predict_full_fcn,
+)
+from deephisto_tpu.predict.pipeline import dense_coords
+
+H, W = 160, 130  # deliberately not multiples of 32
+PS = 64  # = 2 feature cells per window axis
+D = 16
+FS = FEATURE_STRIDE
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=BasicBlock, num_classes=5,
+        num_filters=8, stem="s2d",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def image():
+    return np.random.default_rng(7).integers(0, 255, (H, W, 3), dtype=np.uint8)
+
+
+def _brute_force_map(model, variables, image, tile, halo):
+    """Reimplement stages 2-3 of the fcn program in numpy from the same
+    tiled stage-1 features."""
+    h, w = image.shape[:2]
+    ty, tx = -(-h // tile), -(-w // tile)
+    padded = np.asarray(
+        jnp.pad(
+            jnp.asarray(image),
+            ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+        )
+    )
+    ft = tile // FS
+    F = None
+    for i in range(ty):
+        for j in range(tx):
+            xin = padded[
+                i * tile : (i + 1) * tile + 2 * halo,
+                j * tile : (j + 1) * tile + 2 * halo,
+            ]
+            xin = jnp.asarray(xin).astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            f = model.apply(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+                xin[None], train=False, features=True,
+            )[0]
+            hh = halo // FS
+            f = np.asarray(
+                jnp.asarray(f[hh : hh + ft, hh : hh + ft], jnp.bfloat16), np.float32
+            )
+            if F is None:
+                F = np.zeros((ty * ft, tx * ft, f.shape[-1]), np.float32)
+            F[i * ft : (i + 1) * ft, j * ft : (j + 1) * ft] = f
+
+    wf = PS // FS
+    ky = (h - PS) // FS + 1
+    kx = (w - PS) // FS + 1
+    fck = np.asarray(variables["params"]["fc"]["kernel"], np.float32)
+    fcb = np.asarray(variables["params"]["fc"]["bias"], np.float32)
+    wlog = np.zeros((ky, kx, 5), np.float32)
+    for k in range(ky):
+        for l in range(kx):
+            wlog[k, l] = F[k : k + wf, l : l + wf].mean(axis=(0, 1)) @ fck + fcb
+
+    up = FS // D
+    mh, mw = h // D, w // D
+    ref = np.zeros((mh, mw, 5), np.float32)
+    for m in range(mh):
+        for n in range(mw):
+            i = min(m // up, ky + wf - 2)
+            j = min(n // up, kx + wf - 2)
+            ks = range(max(0, i - wf + 1), min(i, ky - 1) + 1)
+            ls = range(max(0, j - wf + 1), min(j, kx - 1) + 1)
+            ref[m, n] = np.mean(
+                [wlog[k, l] for k in ks for l in ls], axis=0
+            )
+    return ref
+
+
+def test_fcn_matches_brute_force_window_ensemble(small_model, image):
+    model, variables = small_model
+    am, score = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=192, halo=32
+    )
+    assert am.shape == (H // D, W // D)
+    ref = _brute_force_map(model, variables, image, tile=192, halo=32)
+    score = np.asarray(score, np.float32)
+    rel = np.abs(score - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, rel
+    np.testing.assert_array_equal(am, np.argmax(ref, axis=-1))
+
+
+def test_fcn_tile_seams_are_clean(small_model, image):
+    """Small tiles + adequate halo reproduce the single-tile program."""
+    model, variables = small_model
+    am1, s1 = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=192, halo=96
+    )
+    am2, s2 = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64, halo=96
+    )
+    agree = (am1 == am2).mean()
+    assert agree > 0.98, agree
+    rel = float(jnp.max(jnp.abs(s1 - s2)) / (jnp.max(jnp.abs(s1)) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_fcn_agrees_with_exact_path_on_piecewise_constant_image(small_model):
+    """On large uniform regions every 224-window sees identical content, so
+    the fcn ensemble and the exact stride-based ensemble must agree away from
+    region boundaries (the two window grids differ, but all windows produce
+    the same logits on constant input)."""
+    model, variables = small_model
+    img = np.zeros((H, W, 3), np.uint8)
+    img[:, :] = (200, 40, 40)
+    img[H // 2 :, :] = (30, 180, 220)
+    am_fcn, _ = predict_full_fcn(
+        img, model, variables, 5, patch_size=PS, downscale=D, tile=192, halo=96
+    )
+    am_exact, _ = predict_full_fused(
+        img, model, variables, 5, patch_size=PS, stride=PS // 2, batch_size=8,
+        downscale=D,
+    )
+    agree = (am_fcn == am_exact).mean()
+    assert agree > 0.75, agree
+
+
+def test_fcn_validation_errors(small_model, image):
+    model, variables = small_model
+    with pytest.raises(ValueError, match="multiple"):
+        predict_full_fcn(image, model, variables, 5, patch_size=100)
+    with pytest.raises(ValueError, match="divide"):
+        predict_full_fcn(image, model, variables, 5, patch_size=PS, downscale=24)
+    with pytest.raises(ValueError, match="multiples"):
+        predict_full_fcn(image, model, variables, 5, patch_size=PS, tile=100)
+    with pytest.raises(ValueError, match="smaller"):
+        predict_full_fcn(image[:40], model, variables, 5, patch_size=PS)
+
+
+def test_fcn_equivalent_patches_counts_the_exact_grid():
+    assert fcn_equivalent_patches(H, W, PS, PS // 2) == len(
+        dense_coords(H, W, PS, PS // 2)
+    )
