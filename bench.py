@@ -89,8 +89,9 @@ def main():
                     "int8_serving_patches_per_s": (
                         round(int8_value, 1) if int8_value else None
                     ),
-                    "int8_note": "PTQ serving mode, top-1 parity delta 0.0 "
-                    "vs float on the demo checkpoint",
+                    "int8_note": "PTQ serving mode SPEED on a random-init "
+                    "model; accuracy parity measured separately in "
+                    "benchmarks/int8_accuracy_tpu.jsonl",
                     "backend": jax.default_backend(),
                 },
             }

@@ -226,15 +226,39 @@ class QuantizedResNet:
 
     ``variables`` must be the ``qvariables`` returned alongside it (a plain
     {"params": pytree} — int8 kernels + f32 scales/biases), so the fused
-    pipelines can pass it through jit like any other model's variables."""
+    pipelines can pass it through jit like any other model's variables.
+
+    The trunk stays int8 END TO END (round-3 rework): block activations are
+    carried as int8 in the next block's input scale — exactly the structure
+    the shift-requant ceiling probe measured at 31.0k patches/s
+    (benchmarks/int8_e2e.py) — instead of round-tripping every block boundary
+    through bf16. Every dequant·(+residual)·relu·requant collapses into one
+    f32 epilogue on the s32 conv accumulator, fused by XLA into the conv.
+    The residual is the DEQUANT of the carried int8 (one extra quantization
+    vs the float net per block; accuracy: benchmarks/int8_accuracy.py).
+
+    ``wants_uint8``: the fused pipelines hand this model the RAW uint8
+    patches — /255 and input quantization collapse into the single
+    ``round(u8 · inv/255)`` epilogue, and the space-to-depth transpose runs
+    on 1-byte lanes instead of bf16 (half the stem bandwidth)."""
+
+    wants_uint8 = True
 
     def __init__(self, model):
         self._model = model  # topology source (stem/stage_sizes/block_cls)
 
-    def apply(self, variables, x, train: bool = False):
+    # hashability: fcn's program cache keys on the model object
+    def __hash__(self):
+        return hash((type(self).__name__, self._model))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._model == self._model
+
+    def apply(self, variables, x, train: bool = False, features: bool = False):
         assert not train, "QuantizedResNet is inference-only"
         q = variables["params"]
         model = self._model
+        basic, blocks = _conv_layers(model)
 
         def conv_s32(name, x8, stride, padding="SAME"):
             return jax.lax.conv_general_dilated(
@@ -243,68 +267,73 @@ class QuantizedResNet:
                 preferred_element_type=jnp.int32,
             )
 
-        def conv_apply(name, x8, stride, relu, padding="SAME"):
+        def conv_f32(name, x8, stride, padding="SAME"):
+            # s32 conv + f32 dequant/bias epilogue (per-channel)
             layer = q[name]
-            y = conv_s32(name, x8, stride, padding)
-            # dequant: per-channel (s_w · s_x) + folded bias, in bf16
-            y = y.astype(jnp.bfloat16) * layer["dequant"].astype(jnp.bfloat16)
-            y = y + layer["bias"].astype(jnp.bfloat16)
-            return jax.nn.relu(y) if relu else y
+            y = conv_s32(name, x8, stride, padding).astype(jnp.float32)
+            return y * layer["dequant"] + layer["bias"]
 
-        def quant_in(name, xf):
-            # round in f32: bf16's 8-bit mantissa costs real accuracy near
-            # the clip edge, and the elementwise fuses into the conv anyway
-            inv = q[name]["in_inv_scale"]
-            return jnp.clip(
-                jnp.round(xf.astype(jnp.float32) * inv), -127, 127
-            ).astype(jnp.int8)
-
-        def qconv(name, xf, stride, relu, padding="SAME"):
-            return conv_apply(name, quant_in(name, xf), stride, relu, padding)
-
-        def conv_to_int8(name, next_name, x8, stride):
-            # fused intra-block edge: this conv's output feeds EXACTLY one
-            # quantized conv, so dequant·relu·requant collapse into a single
-            # f32 epilogue on the s32 accumulator — one rounding instead of
-            # two, no bf16 intermediate. relu commutes with the positive
-            # requant scale, so this is numerically tighter, not looser.
+        def conv_to_int8(name, next_name, x8, stride, padding="SAME"):
+            # fused edge: dequant·relu·requant to next_name's input scale as
+            # a single f32 epilogue — one rounding, no bf16 intermediate.
+            # relu commutes with the positive requant scale.
             layer = q[name]
             inv = q[next_name]["in_inv_scale"]
-            y = conv_s32(name, x8, stride).astype(jnp.float32)
+            y = conv_s32(name, x8, stride, padding).astype(jnp.float32)
             y = y * (layer["dequant"] * inv) + layer["bias"] * inv
             return jnp.clip(jnp.round(jax.nn.relu(y)), -127, 127).astype(jnp.int8)
 
-        def block_walk(x):
-            # mirrors _blocks (resnet.py:24-72) with the int8 edge fusion;
-            # block INPUTS/OUTPUTS stay bf16 (two consumers: conv + residual)
-            basic, blocks = _conv_layers(model)
-            for name, stride in blocks:
-                residual = x
-                x8 = quant_in(f"{name}/conv1", x)
-                if basic:
-                    h = conv_to_int8(
-                        f"{name}/conv1", f"{name}/conv2", x8, stride
-                    )
-                    y = conv_apply(f"{name}/conv2", h, stride=1, relu=False)
-                else:
-                    h = conv_to_int8(f"{name}/conv1", f"{name}/conv2", x8, 1)
-                    h = conv_to_int8(
-                        f"{name}/conv2", f"{name}/conv3", h, stride
-                    )
-                    y = conv_apply(f"{name}/conv3", h, stride=1, relu=False)
-                if y.shape != residual.shape:
-                    residual = conv_apply(
-                        f"{name}/downsample_conv",
-                        quant_in(f"{name}/downsample_conv", x),
-                        stride, relu=False,
-                    )
-                x = jax.nn.relu(residual + y)
-            return x
+        # ---- input quantization (u8 fast path: /255 folds into the scale) --
+        first = "conv1"
+        inv0 = q[first]["in_inv_scale"]
+        if x.dtype == jnp.uint8:
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (inv0 / 255.0)), -127, 127
+            ).astype(jnp.int8)
+        else:
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * inv0), -127, 127
+            ).astype(jnp.int8)
 
-        x = jnp.asarray(x, jnp.bfloat16)
-        x = _stem(model, x, qconv)
-        x = block_walk(x)
-        f = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        # ---- stem (resnet.py:99-112), entirely in int8 ---------------------
+        first_block_in = f"{blocks[0][0]}/conv1"
+        if model.stem == "s2d":
+            b, h, w, c = x8.shape
+            x8 = x8.reshape(b, h // 4, 4, w // 4, 4, c)
+            x8 = x8.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
+            x8 = conv_to_int8("conv1", first_block_in, x8, stride=1)
+        else:
+            x8 = conv_to_int8(
+                "conv1", first_block_in, x8, stride=2, padding=[(3, 3), (3, 3)]
+            )
+            x8 = nn_max_pool(x8)  # monotone: commutes with the requant above
+
+        # ---- residual stages, int8 trunk -----------------------------------
+        out_f = None
+        for bi, (name, stride) in enumerate(blocks):
+            s_in = 1.0 / q[f"{name}/conv1"]["in_inv_scale"]
+            if basic:
+                h8 = conv_to_int8(f"{name}/conv1", f"{name}/conv2", x8, stride)
+                y_f = conv_f32(f"{name}/conv2", h8, stride=1)
+            else:
+                h8 = conv_to_int8(f"{name}/conv1", f"{name}/conv2", x8, 1)
+                h8 = conv_to_int8(f"{name}/conv2", f"{name}/conv3", h8, stride)
+                y_f = conv_f32(f"{name}/conv3", h8, stride=1)
+            if f"{name}/downsample_conv" in q:
+                # same input tensor as conv1 → same calibrated scale: reuse x8
+                res_f = conv_f32(f"{name}/downsample_conv", x8, stride)
+            else:
+                res_f = x8.astype(jnp.float32) * s_in
+            out_f = jax.nn.relu(y_f + res_f)
+            if bi + 1 < len(blocks):
+                inv_next = q[f"{blocks[bi + 1][0]}/conv1"]["in_inv_scale"]
+                x8 = jnp.clip(jnp.round(out_f * inv_next), -127, 127).astype(
+                    jnp.int8
+                )
+
+        if features:
+            return out_f.astype(jnp.bfloat16)
+        f = jnp.mean(out_f, axis=(1, 2))
         return f @ q["fc"]["kernel"] + q["fc"]["bias"]
 
 

@@ -57,7 +57,7 @@ def predict_full_spatial(
     """Dense full-WSI predict with the slide row-banded across the mesh's
     data axis. Returns the argmax class map (host numpy).
     """
-    from ..predict.pipeline import dense_coords
+    from ..predict.pipeline import dense_coords, model_input
 
     n_dev = mesh.shape[DATA_AXIS]
     image = np.asarray(image)
@@ -122,7 +122,7 @@ def predict_full_spatial(
             coords, valid = xs
             local = jnp.stack([coords[:, 0] - start, coords[:, 1]], axis=1)
             patches = gather_patches_xla(band_img, local, ps)
-            x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            x = model_input(model, patches)
             logits = model.apply(
                 {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
                 x,

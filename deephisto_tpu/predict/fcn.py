@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pipeline import dense_coords
+from .pipeline import dense_coords, model_input
 
 FEATURE_STRIDE = 32  # ResNet total stride: stem /4 x stage strides 1,2,2,2
 
@@ -102,7 +102,7 @@ def _make_fcn_program(model, tile, halo, n_classes, patch_size, downscale, h, w)
                 (i * tile, j * tile, 0),
                 (tile + 2 * halo, tile + 2 * halo, 3),
             )
-            xin = xin.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            xin = model_input(model, xin)
             f = _backbone_features(model, variables, xin[None])[0]
             hh = halo // fs
             f = f[hh : hh + ft, hh : hh + ft]

@@ -29,6 +29,19 @@ from ..ops.stitch import (
 )
 
 
+def model_input(model, patches_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 patches → what the model's apply wants.
+
+    Float models get the /255 bf16 normalization (training convention,
+    reference predict_full_patched.py:67-69). Models that declare
+    ``wants_uint8`` (the int8 serving path, models/quantize.py) get the raw
+    u8 — their input quantization folds /255 into its own scale, saving a
+    full-resolution bf16 materialization."""
+    if getattr(model, "wants_uint8", False):
+        return patches_u8
+    return patches_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+
+
 def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
     """The dense tiling coord list (grid + last col/row + corner — same cover
     rule as FullImageDenseSampler / reference full_samplers.py:374-397)."""
@@ -84,7 +97,7 @@ def _predict_scan(
             # its all-reduce from GSPMD (the spatial-parallel inference story)
             coords = jax.lax.with_sharding_constraint(coords, data_sh)
         patches = gather_patches_xla(image, coords, patch_size)
-        x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        x = model_input(model, patches)
         logits = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})},
@@ -146,7 +159,7 @@ def _predict_random_while(
         coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
 
         patches = gather_patches_xla(image, coords, ps)
-        xin = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        xin = model_input(model, patches)
         logits = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})},

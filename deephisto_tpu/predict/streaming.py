@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
+from .pipeline import model_input
 from ..ops.stitch import scatter_add_map_exact
 
 
@@ -97,7 +98,7 @@ def predict_full_streamed(
             cds, vld = xs
             local = jnp.stack([cds[:, 0] - y0, cds[:, 1]], axis=1)
             patches = gather_patches_xla(stripe_img, local, ps)
-            x = patches.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            x = model_input(model, patches)
             logits = model.apply(
                 {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})},

@@ -128,3 +128,45 @@ def test_quantized_model_through_streaming_and_spatial(batch):
         batch_size=4, downscale=16,
     )
     np.testing.assert_array_equal(am_stream, am_res)
+
+
+def test_uint8_ingestion_matches_float_input(batch):
+    """wants_uint8 path: handing raw u8 to the quantized model (the /255
+    folds into the input-quantize scale) must reproduce the float-input
+    logits — the two differ only in one fused f32 rounding."""
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+    assert qmodel.wants_uint8
+
+    u8 = (np.random.default_rng(3).random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    ql_u8 = np.asarray(qmodel.apply(qvars, jnp.asarray(u8)))
+    ql_f = np.asarray(qmodel.apply(qvars, jnp.asarray(u8.astype(np.float32) / 255.0)))
+    # identical int8 inputs except where round(u8*inv/255) differs by 1 LSB
+    np.testing.assert_allclose(ql_u8, ql_f, atol=0.03)
+    assert (ql_u8.argmax(1) == ql_f.argmax(1)).mean() >= 0.75
+
+
+def test_quantized_fcn_mode(batch):
+    """int8 + fcn compose: QuantizedResNet exposes features=True, so the
+    overlap-free mode runs on the serving model too."""
+    from deephisto_tpu.predict import predict_full_fcn, predict_full_fused
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    img = np.zeros((160, 128, 3), np.uint8)
+    img[:, :] = (200, 40, 40)
+    img[80:, :] = (30, 180, 220)
+    am_q, _ = predict_full_fcn(
+        img, qmodel, qvars, n_classes=5, patch_size=64, downscale=16,
+        tile=64, halo=96,
+    )
+    am_f, _ = predict_full_fcn(
+        img, model, variables, n_classes=5, patch_size=64, downscale=16,
+        tile=64, halo=96,
+    )
+    assert am_q.shape == am_f.shape == (10, 8)
+    agree = (am_q == am_f).mean()
+    assert agree > 0.7, agree

@@ -130,7 +130,15 @@ def test_fused_predict_paths_accept_bn_free_models():
         downscale=16, speedup=8, seed=0,
     )
     assert am.shape == (4, 4) and filled >= 1.0
-    out = batch_predictor(np.zeros((2, 32, 32, 3), np.uint8), model, variables)
+    # documented contract: a list of Patch-like objects with .data
+    from deephisto_tpu.slide import Patch
+
+    plist = [
+        Patch(layer=1, pos_x=0, pos_y=0, patch_size=32,
+              data=np.zeros((32, 32, 3), np.uint8))
+        for _ in range(2)
+    ]
+    out = batch_predictor(plist, model, variables)
     assert out.shape == (2, 5)
 
 
