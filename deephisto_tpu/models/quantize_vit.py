@@ -1,0 +1,251 @@
+"""Post-training int8 quantization for the ViT family — serving mode #2.
+
+Where the FLOPs are at the production 196-token shape (dim 384): the Dense
+matmuls — qkv (3d² per token), proj (d²), mlp (8d²) — carry ~92% of the
+model's multiply-adds; attention's n²d score/AV matmuls are ~8%. So the
+serving mode quantizes exactly the Dense weights/activations (W8A8,
+per-output-channel weight scales, per-tensor calibrated activation scales)
+and leaves LayerNorm, softmax/attention, GELU, and the residual stream in
+bf16/f32 — the standard transformer W8A8 recipe, mapped onto the v5e MXU's
+s8×s8→s32 path (2× the bf16 rate).
+
+Every dequant → nonlinearity → requant runs as one f32 epilogue fused into
+the adjacent matmul (same structure as the ResNet serving mode,
+models/quantize.py). The residual stream stays bf16: it is the error-
+accumulation path, and its adds are bandwidth-trivial next to the matmuls.
+
+Reference parity note: the reference has no transformer at all (its backbone
+is torchvision resnet18, reference models/patch_cls_simple/model.py:1-11);
+the ViT and this serving mode are framework extensions, benchmarked in
+benchmarks/README.md.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .vit import FLASH_MIN_SEQ, ViT, _attention, _on_tpu
+
+LN_EPS = 1e-6  # flax.linen.LayerNorm default, vit.py blocks
+
+
+def _layer_norm(x, p):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+    return y * jnp.asarray(p["scale"], jnp.float32) + jnp.asarray(
+        p["bias"], jnp.float32
+    )
+
+
+def _split_heads(qkv, b, n, heads, dim):
+    dh = dim // heads
+    qkv = qkv.reshape(b, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]
+
+
+def _float_forward(model: ViT, variables, x, record=None):
+    """Float forward mirroring vit.py:129-154, optionally recording per-matmul
+    input absmax into ``record`` (the calibration pass)."""
+    p = variables["params"]
+
+    def note(name, t):
+        if record is not None:
+            record[name] = jnp.maximum(
+                record.get(name, jnp.float32(0.0)), jnp.max(jnp.abs(t))
+            )
+
+    x = jnp.asarray(x, jnp.float32)
+    note("embed", x)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(p["embed"]["kernel"], jnp.float32),
+        (model.patch, model.patch), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(p["embed"]["bias"], jnp.float32)
+    b, gh, gw, d = x.shape
+    n = gh * gw
+    x = x.reshape(b, n, d) + jnp.asarray(p["pos_embed"], jnp.float32)
+    for i in range(model.depth):
+        bp = p[f"block{i}"]
+        y = _layer_norm(x, bp["ln1"])
+        note(f"block{i}/qkv", y)
+        qkv = y @ jnp.asarray(bp["attn"]["qkv"]["kernel"], jnp.float32) + jnp.asarray(
+            bp["attn"]["qkv"]["bias"], jnp.float32
+        )
+        q, k, v = _split_heads(qkv, b, n, model.heads, model.dim)
+        att = _attention(q, k, v, use_flash=False)
+        att = att.transpose(0, 2, 1, 3).reshape(b, n, model.dim)
+        note(f"block{i}/proj", att)
+        x = x + att @ jnp.asarray(
+            bp["attn"]["proj"]["kernel"], jnp.float32
+        ) + jnp.asarray(bp["attn"]["proj"]["bias"], jnp.float32)
+        y = _layer_norm(x, bp["ln2"])
+        note(f"block{i}/fc1", y)
+        y = y @ jnp.asarray(bp["fc1"]["kernel"], jnp.float32) + jnp.asarray(
+            bp["fc1"]["bias"], jnp.float32
+        )
+        y = jax.nn.gelu(y, approximate=True)
+        note(f"block{i}/fc2", y)
+        x = x + y @ jnp.asarray(bp["fc2"]["kernel"], jnp.float32) + jnp.asarray(
+            bp["fc2"]["bias"], jnp.float32
+        )
+    x = _layer_norm(x, p["ln"])
+    x = x.mean(axis=1)
+    return x @ jnp.asarray(p["head"]["kernel"], jnp.float32) + jnp.asarray(
+        p["head"]["bias"], jnp.float32
+    )
+
+
+def calibrate_vit(model, variables, batches):
+    """{matmul_name: input absmax} over calibration batches ([0,1] NHWC)."""
+
+    @jax.jit
+    def one(x):
+        rec = {}
+        _float_forward(model, variables, x, record=rec)
+        return rec
+
+    absmax: dict[str, float] = {}
+    for b in batches:
+        for k, v in one(jnp.asarray(b)).items():
+            absmax[k] = max(absmax.get(k, 0.0), float(v))
+    return absmax
+
+
+class QuantizedViT:
+    """``.apply``-compatible int8 ViT; construct via :func:`quantize_vit`.
+
+    Accepts raw uint8 input (``wants_uint8``; /255 folds into the embed
+    quantization scale) or float in [0, 1]."""
+
+    wants_uint8 = True
+
+    def __init__(self, model: ViT):
+        self._model = model
+
+    def __hash__(self):
+        return hash((type(self).__name__, self._model))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._model == self._model
+
+    def apply(self, variables, x, train: bool = False):
+        assert not train, "QuantizedViT is inference-only"
+        q = variables["params"]
+        model = self._model
+
+        def quant(name, xf):
+            inv = q[name]["in_inv_scale"]
+            return jnp.clip(
+                jnp.round(xf.astype(jnp.float32) * inv), -127, 127
+            ).astype(jnp.int8)
+
+        def qdot(name, xf):
+            """int8 matmul with fused f32 dequant+bias epilogue → f32."""
+            layer = q[name]
+            y = jax.lax.dot_general(
+                quant(name, xf), layer["kernel_q"],
+                (((xf.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return y.astype(jnp.float32) * layer["dequant"] + layer["bias"]
+
+        # ---- embed: int8 patch conv (u8 fast path) ----------------------
+        emb = q["embed"]
+        if x.dtype == jnp.uint8:
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (emb["in_inv_scale"] / 255.0)),
+                -127, 127,
+            ).astype(jnp.int8)
+        else:
+            x8 = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * emb["in_inv_scale"]), -127, 127
+            ).astype(jnp.int8)
+        xe = jax.lax.conv_general_dilated(
+            x8, emb["kernel_q"], (model.patch, model.patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        xe = xe.astype(jnp.float32) * emb["dequant"] + emb["bias"]
+        b, gh, gw, d = xe.shape
+        n = gh * gw
+        x = (xe.reshape(b, n, d) + q["pos_embed"]).astype(jnp.bfloat16)
+
+        use_flash = _on_tpu() and n >= FLASH_MIN_SEQ
+        for i in range(model.depth):
+            bp = q[f"block{i}"]
+            y = _layer_norm(x, bp["ln1"])
+            qkv = qdot(f"block{i}/qkv", y)
+            qq, kk, vv = _split_heads(
+                qkv.astype(jnp.bfloat16), b, n, model.heads, model.dim
+            )
+            att = _attention(qq, kk, vv, use_flash=use_flash)
+            att = att.transpose(0, 2, 1, 3).reshape(b, n, model.dim)
+            x = x + qdot(f"block{i}/proj", att).astype(jnp.bfloat16)
+            y = _layer_norm(x, bp["ln2"])
+            y = jax.nn.gelu(qdot(f"block{i}/fc1", y), approximate=True)
+            x = x + qdot(f"block{i}/fc2", y).astype(jnp.bfloat16)
+
+        x = _layer_norm(x, q["ln"])
+        f = x.mean(axis=1)
+        return f @ q["head"]["kernel"] + q["head"]["bias"]
+
+
+def quantize_vit(model: ViT, variables, calib_batches):
+    """Post-training-quantize a trained float ViT → ``(qmodel, qvariables)``,
+    drop-in for the fused pipelines (wants_uint8 serving mode)."""
+    p = variables["params"]
+    absmax = calibrate_vit(model, variables, calib_batches)
+
+    def qweights(name, kernel, bias):
+        w = jnp.asarray(kernel, jnp.float32)
+        # per-output-channel symmetric scales on the last axis
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        s_x = max(absmax.get(name, 1.0), 1e-12) / 127.0
+        return {
+            "kernel_q": w_q,
+            "dequant": (s_w * s_x).astype(jnp.float32),
+            "bias": jnp.asarray(bias, jnp.float32),
+            "in_inv_scale": jnp.float32(1.0 / s_x),
+        }
+
+    qp: dict = {
+        "embed": qweights("embed", p["embed"]["kernel"], p["embed"]["bias"]),
+        "pos_embed": jnp.asarray(p["pos_embed"], jnp.float32),
+        "ln": {
+            "scale": jnp.asarray(p["ln"]["scale"], jnp.float32),
+            "bias": jnp.asarray(p["ln"]["bias"], jnp.float32),
+        },
+        "head": {
+            "kernel": jnp.asarray(p["head"]["kernel"], jnp.float32),
+            "bias": jnp.asarray(p["head"]["bias"], jnp.float32),
+        },
+    }
+    for i in range(model.depth):
+        bp = p[f"block{i}"]
+        qp[f"block{i}"] = {
+            "ln1": {
+                "scale": jnp.asarray(bp["ln1"]["scale"], jnp.float32),
+                "bias": jnp.asarray(bp["ln1"]["bias"], jnp.float32),
+            },
+            "ln2": {
+                "scale": jnp.asarray(bp["ln2"]["scale"], jnp.float32),
+                "bias": jnp.asarray(bp["ln2"]["bias"], jnp.float32),
+            },
+        }
+        qp[f"block{i}/qkv"] = qweights(
+            f"block{i}/qkv", bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"]
+        )
+        qp[f"block{i}/proj"] = qweights(
+            f"block{i}/proj", bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"]
+        )
+        qp[f"block{i}/fc1"] = qweights(
+            f"block{i}/fc1", bp["fc1"]["kernel"], bp["fc1"]["bias"]
+        )
+        qp[f"block{i}/fc2"] = qweights(
+            f"block{i}/fc2", bp["fc2"]["kernel"], bp["fc2"]["bias"]
+        )
+    return QuantizedViT(model), {"params": qp}

@@ -115,7 +115,7 @@ if __name__ == "__main__":
             # from this slide, then swap in the int8 model (quantize.py)
             import numpy as np
 
-            from deephisto_tpu.models import quantize_resnet
+            from deephisto_tpu.models import quantize_model
 
             rng = np.random.default_rng(0)
             calib = []
@@ -128,7 +128,7 @@ if __name__ == "__main__":
                     ).astype(np.float32)
                     / 255.0
                 )
-            model, variables = quantize_resnet(model, variables, calib)
+            model, variables = quantize_model(model, variables, calib)
             print("quantized to int8 (per-channel weights, calibrated activations)")
         if args.fcn:
             from deephisto_tpu.predict import predict_full_fcn
