@@ -140,6 +140,36 @@ def main():
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+    # --- margin-conditioned disagreement analysis ------------------------
+    # Are the int8-vs-float map flips confined to cells the float model
+    # itself barely decides (low top1-top2 margin), or systematic?
+    srt = np.sort(score_f, axis=-1)
+    margin = (srt[..., -1] - srt[..., -2]).ravel()
+    flip = (am_f != am_q).ravel()
+    pcts = [1, 2, 5, 10, 25, 50]
+    cuts = np.percentile(margin, pcts)
+    below = {}
+    for p, c in zip(pcts, cuts):
+        sel = margin <= c
+        below[f"p{p}"] = {
+            "margin_cut": round(float(c), 4),
+            "flips_captured": round(float(flip[sel].sum() / max(flip.sum(), 1)), 4),
+            "agreement_above": round(float(1.0 - flip[~sel].mean()), 5)
+            if (~sel).any() else 1.0,
+        }
+    flip_margins = margin[flip]
+    row = {
+        "measurement": "int8_flip_margin_analysis",
+        "n_cells": int(flip.size),
+        "n_flips": int(flip.sum()),
+        "median_margin_all": round(float(np.median(margin)), 4),
+        "median_margin_flipped": round(float(np.median(flip_margins)), 4)
+        if flip.any() else None,
+        "flip_capture_by_float_margin_percentile": below,
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
     with out_path.open("a") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

@@ -44,6 +44,17 @@ def run_config(name: str, batch: int, sampler, out_path: Path, steps: int = 40):
 
     key = jax.random.key(0)
 
+    # XLA's own FLOP count for the whole fused epoch (sampling + fwd + bwd +
+    # update), for achieved-TFLOP/s rows (same method as mxu_sweep.py)
+    epoch_flops = float("nan")
+    try:
+        analysis = fused_epoch.lower(state, key).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        epoch_flops = float(analysis["flops"])
+    except Exception as e:
+        print(f"  (cost_analysis failed: {e})", file=sys.stderr)
+
     t0 = time.perf_counter()
     state, losses, _ = fused_epoch(state, key)
     float(jnp.sum(losses))
@@ -58,13 +69,41 @@ def run_config(name: str, batch: int, sampler, out_path: Path, steps: int = 40):
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    # stage isolation: the same epoch without the model (sampling+augment
+    # only) — is the fused epoch sampler-bound or compute-bound?
+    sample_fn = sampler.make_sample_fn(batch)
+
+    @jax.jit
+    def sample_epoch(key):
+        def body(acc, k):
+            patches, labels, _, _ = sample_fn(k)
+            return acc + patches.astype(jnp.float32).mean() + labels.sum(), None
+
+        keys = jax.random.split(key, steps)
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return acc
+
+    float(sample_epoch(key))
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(sample_epoch(jax.random.fold_in(key, 10 + i)))
+        ts.append(time.perf_counter() - t0)
+    dt_sample = min(ts)
+
+    V5E_PEAK_BF16 = 197e12
     pps = steps * batch / dt
+    tflops = epoch_flops / dt / 1e12 if epoch_flops == epoch_flops else None
     row = {
         "config": f"{name}@{batch}",
         "patches_per_s": round(pps, 1),
         "steps": steps,
         "best_s": round(dt, 4),
         "times_s": [round(t, 4) for t in times],
+        "sampling_only_s": round(dt_sample, 4),
+        "sampling_share": round(dt_sample / dt, 3),
+        "achieved_tflops": round(tflops, 1) if tflops else None,
+        "mxu_util": round(tflops * 1e12 / V5E_PEAK_BF16, 3) if tflops else None,
         "compile_or_warm_s": round(compile_s, 1),
         "backend": jax.default_backend(),
     }
