@@ -94,6 +94,36 @@ def main():
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+    # --- compute-only bound: stripes pre-staged, upload off the clock ---
+    # separates the tunnel's ~60 MB/s host->HBM artifact from the program's
+    # real per-stripe compute; a PCIe host hides uploads behind the MXU, so
+    # this row bounds its streamed throughput (VERDICT r2 #8)
+    def run_prestaged():
+        t = {}
+        _, score = predict_full_streamed(
+            host_img, model, variables, n_classes=5, patch_size=PS,
+            stride=STRIDE, batch_size=BATCH, stripe_rows=2048,
+            prestage_all=True, timings=t,
+        )
+        float(jnp.asarray(score).sum())
+        return t
+
+    run_prestaged()  # warm
+    best = min(run_prestaged()["compute_s"] for _ in range(3))
+    stage_s = run_prestaged()["staging_s"]
+    row = {
+        "measurement": "streamed_dense_predict_compute_only",
+        "patches_per_s": round(n_patches / best, 0),
+        "patches": n_patches,
+        "best_s": round(best, 3),
+        "staging_s_tunnel": round(stage_s, 3),
+        "detail": "all stripes pre-staged on device; bounds a PCIe host "
+        "whose uploads hide behind the MXU (tunnel upload cost reported "
+        "separately as staging_s_tunnel)",
+    }
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
     with out_path.open("a") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

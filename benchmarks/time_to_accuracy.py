@@ -1,0 +1,160 @@
+"""Time-to-accuracy study: does a wider/deeper backbone earn its FLOPs?
+(VERDICT r2 "next round" #4.)
+
+The round-2 MXU sweep showed r18-width2 at 79% MXU vs r18's 45% — but at 4x
+the FLOPs. Whether that converts into faster WALL-CLOCK convergence was
+unanswerable on the easy synthetic set (every backbone saturates in a few
+epochs). This study trains each backbone on the HARD synthetic regime
+(shared tint, class identity only in texture statistics —
+slide/synthetic.py _HARD_TINT) and records cumulative on-chip train seconds
+vs held-out accuracy, plus minutes-to-target rows.
+
+Usage: python benchmarks/time_to_accuracy.py [--configs r18,r18w2,r50,vit]
+       [--epochs 30] [--target 0.9]
+Appends per-epoch rows + a summary per config to
+benchmarks/time_to_accuracy_<backend>.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CONFIGS = {
+    "r18": dict(depth=18, width=1, arch="resnet"),
+    "r18w2": dict(depth=18, width=2, arch="resnet"),
+    "r34": dict(depth=34, width=1, arch="resnet"),
+    "r50": dict(depth=50, width=1, arch="resnet"),
+    "vit": dict(depth=6, width=1, arch="vit"),
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.data.synthetic_dataset import ensure_synthetic_dataset
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.models.patch_cls_simple.train import (
+        make_fused_epoch,
+        make_steps,
+    )
+    from deephisto_tpu.samplers import AnnoRegionRndSampler
+    from deephisto_tpu.train import create_train_state
+    from deephisto_tpu.utils import get_img_ano_paths
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="r18,r18w2,r50,vit")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--target", type=float, default=0.90)
+    ap.add_argument("--ds", type=Path, default=Path("./data/synthetic_hard"))
+    args = ap.parse_args()
+
+    out_path = Path(__file__).parent / (
+        f"time_to_accuracy_{jax.default_backend()}.jsonl"
+    )
+    rows = []
+
+    ds = ensure_synthetic_dataset(
+        args.ds, n_train=3, n_test=1, height=3072, width=3072, hard=True, seed=7
+    )
+    train_pairs = get_img_ano_paths(ds, sample="train")
+    test_pairs = get_img_ano_paths(ds, sample="test")
+
+    # held-out eval set: 1024 patches from the TEST slide via the device
+    # sampler (class-balanced), fixed key
+    test_sampler = AnnoRegionRndSampler(
+        test_pairs, patch_size=224, layer=2, patches_from_one_region=4,
+    )
+    tf = test_sampler.make_sample_fn(256)
+    eval_x, eval_y = [], []
+    for i in range(4):
+        p, lab, _, _ = tf(jax.random.key(9000 + i))
+        eval_x.append(np.asarray(p))
+        eval_y.append(np.asarray(lab))
+    eval_x = np.concatenate(eval_x)
+    eval_y = np.concatenate(eval_y)
+
+    train_sampler = AnnoRegionRndSampler(
+        train_pairs, patch_size=224, layer=2, patches_from_one_region=4,
+        one_image_for_batch=True,
+    )
+
+    for name in args.configs.split(","):
+        spec = CONFIGS[name.strip()]
+        if spec["arch"] == "vit":
+            model = get_model(5, depth=spec["depth"], arch="vit")
+            lr, wd = 3e-4, 0.05
+        else:
+            model = get_model(
+                5, depth=spec["depth"], stem="s2d", width=spec["width"]
+            )
+            lr, wd = 1e-3, 0.0
+        variables = init_model(model, pretrained=False)
+        state = create_train_state(model, variables, lr, weight_decay=wd)
+        fused_epoch = make_fused_epoch(
+            model, train_sampler, args.batch, args.steps
+        )
+        _, eval_step = make_steps(model)
+
+        def test_acc(state):
+            correct = 0
+            for i in range(0, len(eval_x), 256):
+                x = jnp.asarray(eval_x[i : i + 256], jnp.float32) / 255.0
+                _, c, _ = eval_step(state, x, jnp.asarray(eval_y[i : i + 256]))
+                correct += int(c)
+            return correct / len(eval_x)
+
+        key = jax.random.key(0)
+        # compile outside the clock (the tunnel compile is minutes; a real
+        # PCIe host pays seconds — we study steady-state train time)
+        state, losses, _ = fused_epoch(state, jax.random.fold_in(key, 999))
+        float(jnp.sum(losses))
+        acc0 = test_acc(state)
+
+        wall = 0.0
+        hit = None
+        for epoch in range(1, args.epochs + 1):
+            t0 = time.perf_counter()
+            state, losses, corrects = fused_epoch(state, jax.random.fold_in(key, epoch))
+            float(jnp.sum(losses))
+            wall += time.perf_counter() - t0
+            acc = test_acc(state)
+            row = {
+                "config": name, "epoch": epoch,
+                "train_wall_s": round(wall, 2), "test_acc": round(acc, 4),
+                "train_acc": round(float(jnp.sum(corrects)) / (args.steps * args.batch), 4),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            if hit is None and acc >= args.target:
+                hit = (epoch, wall)
+        summary = {
+            "config": name, "measurement": "time_to_target",
+            "target": args.target, "epochs_run": args.epochs,
+            "warm_start_acc": round(acc0, 4),
+            "hit_epoch": hit[0] if hit else None,
+            "hit_wall_s": round(hit[1], 2) if hit else None,
+            "final_acc": round(acc, 4),
+            "batch": args.batch, "steps_per_epoch": args.steps,
+        }
+        rows.append(summary)
+        print(json.dumps(summary), flush=True)
+        del state, fused_epoch
+
+    with out_path.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

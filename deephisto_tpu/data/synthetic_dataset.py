@@ -23,6 +23,7 @@ def ensure_synthetic_dataset(
     width: int = 2048,
     seed: int = 42,
     max_layer: int = 8,
+    hard: bool = False,
 ) -> Path:
     """Create (idempotently) a synthetic dataset tree and return its root.
 
@@ -38,6 +39,7 @@ def ensure_synthetic_dataset(
         "width": width,
         "seed": seed,
         "max_layer": max_layer,
+        "hard": hard,
     }
     if marker.is_file() and json.loads(marker.read_text()) == want:
         return ds_folder
@@ -54,6 +56,7 @@ def ensure_synthetic_dataset(
                 height=height,
                 width=width,
                 max_layer=max_layer,
+                hard=hard,
             )
             write_dhs(slide._pyramid[1], img_dir / f"{stem}.dhs", max_layer=max_layer)
             (anno_dir / f"{stem}.json").write_text(json.dumps(annos))
