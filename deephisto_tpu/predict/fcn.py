@@ -73,10 +73,13 @@ def _backbone_features(model, variables, x):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_fcn_program(model, tile, halo, n_classes, patch_size, downscale, h, w):
+def _make_fcn_program(
+    model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch=1
+):
     """Build (and cache) the jitted whole-slide fcn program for concrete
     sizes. ``model`` must be hashable (flax Modules are frozen dataclasses;
-    QuantizedResNet defines __hash__ on its topology)."""
+    QuantizedResNet defines __hash__ on its topology). ``tile_batch`` tiles
+    run per scan step as one batched forward (bigger per-step GEMMs)."""
     fs = FEATURE_STRIDE
     wf = patch_size // fs  # feature cells per window axis (224/32 = 7)
     up = fs // downscale  # map cells per feature cell (32/16 = 2)
@@ -91,31 +94,48 @@ def _make_fcn_program(model, tile, halo, n_classes, patch_size, downscale, h, w)
     iy = -(-mh // up)  # trailing-average positions needed per axis
     ix = -(-mw // up)
 
+    n_tiles = ty * tx
+    tb = max(1, min(tile_batch, n_tiles))
+    n_steps = -(-n_tiles // tb)
+    # per-step tile index batches; excess lanes repeat the last tile (their
+    # update lands on the same cells, harmlessly overwriting equal values)
+    idx = np.arange(n_steps * tb)
+    idx[n_tiles:] = n_tiles - 1
+
     @jax.jit
     def program(padded, variables):
-        # ---- stage 1: backbone features, one tile at a time -------------
-        def tile_step(feat, idx):
-            i = idx // tx
-            j = idx % tx
-            xin = jax.lax.dynamic_slice(
-                padded,
-                (i * tile, j * tile, 0),
-                (tile + 2 * halo, tile + 2 * halo, 3),
-            )
+        # ---- stage 1: backbone features, tile_batch tiles per step ------
+        hh = halo // fs
+
+        def tile_step(feat, idxs):
+            def slice_one(t):
+                return jax.lax.dynamic_slice(
+                    padded,
+                    ((t // tx) * tile, (t % tx) * tile, 0),
+                    (tile + 2 * halo, tile + 2 * halo, 3),
+                )
+
+            xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8
             xin = model_input(model, xin)
-            f = _backbone_features(model, variables, xin[None])[0]
-            hh = halo // fs
-            f = f[hh : hh + ft, hh : hh + ft]
-            feat = jax.lax.dynamic_update_slice(
-                feat, f.astype(jnp.bfloat16), (i * ft, j * ft, 0)
-            )
+            f = _backbone_features(model, variables, xin)
+            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+
+            def upd(feat, tf):
+                t, fo = tf
+                return jax.lax.dynamic_update_slice(
+                    feat, fo, ((t // tx) * ft, (t % tx) * ft, 0)
+                ), None
+
+            feat, _ = jax.lax.scan(upd, feat, (idxs, f))
             return feat, None
 
         # channel count from the fc kernel (works for float and int8 variables)
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
         fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
         feat0 = jnp.zeros((fh, fw, fc_kernel.shape[0]), jnp.bfloat16)
-        feat, _ = jax.lax.scan(tile_step, feat0, jnp.arange(ty * tx))
+        feat, _ = jax.lax.scan(
+            tile_step, feat0, jnp.asarray(idx.reshape(n_steps, tb))
+        )
 
         # ---- stage 2: window logits on the 32-aligned grid --------------
         pooled = _avg_pool_f32(feat, wf)[:ky, :kx]  # (ky, kx, C) f32
@@ -168,6 +188,7 @@ def predict_full_fcn(
     downscale: int = 16,
     tile: int = 1792,
     halo: int = 96,
+    tile_batch: int = 1,
 ):
     """Overlap-free dense full-WSI prediction (module docstring for the
     design). Drop-in alternative to ``predict_full_fused`` — same return
@@ -198,7 +219,7 @@ def predict_full_fcn(
         ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
     )
     program = _make_fcn_program(
-        model, tile, halo, n_classes, patch_size, downscale, h, w
+        model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch
     )
     argmax_map, score = program(padded, variables)
     return np.asarray(argmax_map), score

@@ -163,3 +163,18 @@ def test_fcn_equivalent_patches_counts_the_exact_grid():
     assert fcn_equivalent_patches(H, W, PS, PS // 2) == len(
         dense_coords(H, W, PS, PS // 2)
     )
+
+
+def test_fcn_tile_batch_is_equivalent(small_model, image):
+    """tile_batch only changes the per-step GEMM batching, not the math."""
+    model, variables = small_model
+    am1, s1 = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=1,
+    )
+    am4, s4 = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=4,
+    )
+    np.testing.assert_array_equal(am1, am4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s4), atol=1e-4)
