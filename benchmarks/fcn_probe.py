@@ -36,10 +36,13 @@ def main():
         @jax.jit
         def run(n):
             def body(_, acc):
+                # acc feeds the input so the forward is NOT loop-invariant
+                # (XLA would hoist a constant body out of the loop)
                 f = model.apply(
                     {"params": variables["params"],
                      "batch_stats": variables["batch_stats"]},
-                    x, train=False, features=True,
+                    x + acc.astype(jnp.bfloat16) * 0, train=False,
+                    features=True,
                 )
                 return acc + f.mean(dtype=jnp.float32)
 
@@ -53,11 +56,11 @@ def main():
 
     # ~5M px per program in different factorizations (tile incl. halo)
     cases = [
-        ("b1_t2240", (1, 2240, 2240, 3), 4),
-        ("b4_t1120", (4, 1120, 1120, 3), 4),
-        ("b16_t560", (16, 560, 560, 3), 4),
-        ("b64_t280", (64, 280, 280, 3), 4),
         ("b100_t224", (100, 224, 224, 3), 4),
+        ("b64_t280", (64, 280, 280, 3), 4),
+        ("b16_t560", (16, 560, 560, 3), 4),
+        ("b4_t1120", (4, 1120, 1120, 3), 4),
+        ("b1_t2240", (1, 2240, 2240, 3), 4),
     ]
     for label, shape, reps in cases:
         dt = feat_loop(shape, reps)

@@ -40,6 +40,8 @@ def _run(args, env, cwd, timeout=600):
     return r.stdout
 
 
+@pytest.mark.slow  # ~97s: full dense CLI sweep; the dense path itself is
+# covered by test_samplers_full/test_predict in the fast tier
 def test_cli_sample_full_dense(cli_env):
     env, root = cli_env
     out = _run(["-m", "examples.sample_full_dense"], env, root)

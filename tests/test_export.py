@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deephisto_tpu.export import export_classifier, load_classifier
 from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
@@ -33,6 +34,7 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow  # ~40s; the float export roundtrip stays in the fast tier
 def test_export_quantized_classifier_roundtrip(tmp_path):
     """The int8 serving model exports to StableHLO like any other: weights
     (int8 kernels + scales) baked in, same logits after reload."""

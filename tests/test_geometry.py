@@ -245,6 +245,7 @@ def test_keyhole_bridge_is_clip_neutral():
     np.testing.assert_allclose(got, [4.0, 4.0, 0.0, 2.0], atol=1e-9)
 
 
+@pytest.mark.slow  # perf guard (~26s best case, contention-sensitive)
 def test_find_self_intersections_vectorized_scales():
     """Multi-thousand-vertex simplicity check must be block-vectorized, not a
     quadratic Python pair loop (round-1 weak spot)."""

@@ -13,7 +13,11 @@ from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
 from deephisto_tpu.models.quantize import folded_float_apply, quantize_resnet
 from deephisto_tpu.models.resnet import build_resnet
 
-CONFIGS = [(18, "s2d"), (18, "imagenet"), (50, "imagenet")]
+CONFIGS = [
+    (18, "s2d"),
+    (18, "imagenet"),
+    pytest.param(50, "imagenet", marks=pytest.mark.slow),  # ~66s of the fast tier
+]
 
 
 @pytest.fixture(scope="module")
@@ -161,11 +165,11 @@ def test_quantized_fcn_mode(batch):
     img[80:, :] = (30, 180, 220)
     am_q, _ = predict_full_fcn(
         img, qmodel, qvars, n_classes=5, patch_size=64, downscale=16,
-        tile=64, halo=96,
+        tile=192, halo=32,
     )
     am_f, _ = predict_full_fcn(
         img, model, variables, n_classes=5, patch_size=64, downscale=16,
-        tile=64, halo=96,
+        tile=192, halo=32,
     )
     assert am_q.shape == am_f.shape == (10, 8)
     agree = (am_q == am_f).mean()
