@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--configs", default="r18,r18_int8")
     ap.add_argument("--tiles", default="1792")
     ap.add_argument("--halo", type=int, default=96)
+    ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--slide", type=int, default=8192)
     ap.add_argument("--exact_rows", action="store_true",
                     help="also time the exact stride-112 path for comparison")
@@ -86,9 +87,10 @@ def main():
             timed(
                 lambda: predict_full_fcn(
                     image, model, variables, n_classes=5, tile=tile,
-                    halo=args.halo,
+                    halo=args.halo, tile_batch=args.tile_batch,
                 ),
                 f"fcn_{name}_s2d", tile=tile, halo=args.halo,
+                tile_batch=args.tile_batch,
             )
         if args.exact_rows:
             timed(
