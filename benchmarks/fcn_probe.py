@@ -56,11 +56,11 @@ def main():
 
     # ~5M px per program in different factorizations (tile incl. halo)
     cases = [
-        ("b100_t224", (100, 224, 224, 3), 4),
-        ("b64_t280", (64, 280, 280, 3), 4),
-        ("b16_t560", (16, 560, 560, 3), 4),
-        ("b4_t1120", (4, 1120, 1120, 3), 4),
-        ("b1_t2240", (1, 2240, 2240, 3), 4),
+        ("b100_t224", (100, 224, 224, 3), 48),
+        ("b64_t280", (64, 280, 280, 3), 48),
+        ("b16_t560", (16, 560, 560, 3), 48),
+        ("b4_t1120", (4, 1120, 1120, 3), 48),
+        ("b1_t2240", (1, 2240, 2240, 3), 48),
     ]
     for label, shape, reps in cases:
         dt = feat_loop(shape, reps)
