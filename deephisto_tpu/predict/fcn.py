@@ -50,14 +50,16 @@ FEATURE_STRIDE = 32  # ResNet total stride: stem /4 x stage strides 1,2,2,2
 
 
 def _avg_pool_f32(x, span: int):
-    """VALID sum-pool of span x span (stride 1) in f32, / span^2."""
+    """VALID sum-pool of span x span (stride 1) in f32, / span^2.
+
+    Separable: two 1-D reduce_windows (span adds each) instead of one 2-D
+    window (span² adds) — 3.5x less arithmetic and a far better TPU lowering
+    for the (fh, fw, C) feature map."""
     s = jax.lax.reduce_window(
-        x.astype(jnp.float32),
-        0.0,
-        jax.lax.add,
-        (span, span, 1),
-        (1, 1, 1),
-        "VALID",
+        x.astype(jnp.float32), 0.0, jax.lax.add, (span, 1, 1), (1, 1, 1), "VALID"
+    )
+    s = jax.lax.reduce_window(
+        s, 0.0, jax.lax.add, (1, span, 1), (1, 1, 1), "VALID"
     )
     return s / float(span * span)
 
@@ -138,8 +140,10 @@ def _make_fcn_program(
         )
 
         # ---- stage 2: window logits on the 32-aligned grid --------------
-        pooled = _avg_pool_f32(feat, wf)[:ky, :kx]  # (ky, kx, C) f32
-        wlog = pooled @ fc_kernel + fc_bias  # (ky, kx, n_classes)
+        # fc and avg-pool are both linear, so fc(avgpool(F)) == avgpool(fc(F));
+        # projecting 512 -> n_classes FIRST makes the 7x7 pool ~100x cheaper
+        logit_map = feat.astype(jnp.float32) @ fc_kernel  # (fh, fw, n_classes)
+        wlog = _avg_pool_f32(logit_map, wf)[:ky, :kx] + fc_bias
 
         # ---- stage 3: per-cell average over covering windows ------------
         # cell m is covered by windows k in [m//up - wf + 1, m//up] (clipped);
