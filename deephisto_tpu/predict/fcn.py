@@ -99,17 +99,20 @@ def _make_fcn_program(
     n_tiles = ty * tx
     tb = max(1, min(tile_batch, n_tiles))
     n_steps = -(-n_tiles // tb)
-    # per-step tile index batches; excess lanes repeat the last tile (their
-    # update lands on the same cells, harmlessly overwriting equal values)
+    # per-step tile index batches; excess lanes recompute the last tile and
+    # are sliced off before the reshape assembly below
     idx = np.arange(n_steps * tb)
     idx[n_tiles:] = n_tiles - 1
 
     @jax.jit
     def program(padded, variables):
         # ---- stage 1: backbone features, tile_batch tiles per step ------
+        # scan STACKS each step's tile features (no feature-map carry, no
+        # dynamic updates); the slide feature map is then a pure
+        # reshape/transpose of the stacked tiles
         hh = halo // fs
 
-        def tile_step(feat, idxs):
+        def tile_step(_, idxs):
             def slice_one(t):
                 return jax.lax.dynamic_slice(
                     padded,
@@ -120,23 +123,20 @@ def _make_fcn_program(
             xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8
             xin = model_input(model, xin)
             f = _backbone_features(model, variables, xin)
-            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
-
-            def upd(feat, tf):
-                t, fo = tf
-                return jax.lax.dynamic_update_slice(
-                    feat, fo, ((t // tx) * ft, (t % tx) * ft, 0)
-                ), None
-
-            feat, _ = jax.lax.scan(upd, feat, (idxs, f))
-            return feat, None
+            return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
 
         # channel count from the fc kernel (works for float and int8 variables)
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
         fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
-        feat0 = jnp.zeros((fh, fw, fc_kernel.shape[0]), jnp.bfloat16)
-        feat, _ = jax.lax.scan(
-            tile_step, feat0, jnp.asarray(idx.reshape(n_steps, tb))
+        _, tiles_f = jax.lax.scan(
+            tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
+        )
+        c = tiles_f.shape[-1]
+        feat = (
+            tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
+            .reshape(ty, tx, ft, ft, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(fh, fw, c)
         )
 
         # ---- stage 2: window logits on the 32-aligned grid --------------
