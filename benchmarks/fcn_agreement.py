@@ -40,8 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", type=Path, default=Path("./output/best_model.msgpack"))
     ap.add_argument("--config", type=Path, default=None)
-    ap.add_argument("--halos", default="32,96,160")
-    ap.add_argument("--tile", type=int, default=1792)
+    ap.add_argument("--halos", default="32,64,96,160")
+    ap.add_argument("--tile", type=int, default=1024)
+    ap.add_argument("--tile_batch", type=int, default=8)
     ap.add_argument("--n_slides", type=int, default=2)
     args = ap.parse_args()
 
@@ -69,7 +70,8 @@ def main():
 
         for halo in halos:
             am_fcn, _ = predict_full_fcn(
-                image, model, variables, n_classes=5, tile=args.tile, halo=halo
+                image, model, variables, n_classes=5, tile=args.tile,
+                halo=halo, tile_batch=args.tile_batch,
             )
             flip = (am_fcn != am_exact).ravel()
             agree = 1.0 - flip.mean()
