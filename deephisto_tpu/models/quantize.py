@@ -228,14 +228,23 @@ class QuantizedResNet:
     {"params": pytree} — int8 kernels + f32 scales/biases), so the fused
     pipelines can pass it through jit like any other model's variables.
 
-    The trunk stays int8 END TO END (round-3 rework): block activations are
-    carried as int8 in the next block's input scale — exactly the structure
-    the shift-requant ceiling probe measured at 31.0k patches/s
-    (benchmarks/int8_e2e.py) — instead of round-tripping every block boundary
-    through bf16. Every dequant·(+residual)·relu·requant collapses into one
-    f32 epilogue on the s32 conv accumulator, fused by XLA into the conv.
-    The residual is the DEQUANT of the carried int8 (one extra quantization
-    vs the float net per block; accuracy: benchmarks/int8_accuracy.py).
+    Residual-stream precision is selectable (round-3 measurement,
+    benchmarks/int8_accuracy_tpu.jsonl):
+
+    * ``int8_residual=False`` (default, accuracy-first): block outputs are
+      carried bf16 and re-quantized at each block input — 97.6% class-map
+      agreement with float and EXACT test-set top-1 parity. Same exact-path
+      speed as the full-int8 trunk (28.4k patches/s — the epilogues dominate,
+      not the residual carry).
+    * ``int8_residual=True`` (trunk stays int8 end to end, the shift-requant
+      ceiling probe's structure): the residual is the DEQUANT of the carried
+      int8 — one extra quantization per block. Still exact test-set top-1
+      parity, but map agreement drops to 91.8%, with flips concentrated in
+      low-margin cells (median flipped-cell margin 2.07 vs 8.42 overall;
+      100% agreement above the median margin).
+
+    Every dequant·(+residual)·relu·requant collapses into one f32 epilogue
+    on the s32 conv accumulator, fused by XLA into the conv.
 
     ``wants_uint8``: the fused pipelines hand this model the RAW uint8
     patches — /255 and input quantization collapse into the single
@@ -244,15 +253,20 @@ class QuantizedResNet:
 
     wants_uint8 = True
 
-    def __init__(self, model):
+    def __init__(self, model, int8_residual: bool = False):
         self._model = model  # topology source (stem/stage_sizes/block_cls)
+        self.int8_residual = int8_residual
 
     # hashability: fcn's program cache keys on the model object
     def __hash__(self):
-        return hash((type(self).__name__, self._model))
+        return hash((type(self).__name__, self._model, self.int8_residual))
 
     def __eq__(self, other):
-        return type(other) is type(self) and other._model == self._model
+        return (
+            type(other) is type(self)
+            and other._model == self._model
+            and other.int8_residual == self.int8_residual
+        )
 
     def apply(self, variables, x, train: bool = False, features: bool = False):
         assert not train, "QuantizedResNet is inference-only"
@@ -295,20 +309,34 @@ class QuantizedResNet:
                 jnp.round(x.astype(jnp.float32) * inv0), -127, 127
             ).astype(jnp.int8)
 
-        # ---- stem (resnet.py:99-112), entirely in int8 ---------------------
+        def quant_to(name, xf):
+            inv = q[name]["in_inv_scale"]
+            return jnp.clip(
+                jnp.round(xf.astype(jnp.float32) * inv), -127, 127
+            ).astype(jnp.int8)
+
+        # ---- stem (resnet.py:99-112), int8 convs ---------------------------
         first_block_in = f"{blocks[0][0]}/conv1"
         if model.stem == "s2d":
             b, h, w, c = x8.shape
             x8 = x8.reshape(b, h // 4, 4, w // 4, 4, c)
             x8 = x8.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
-            x8 = conv_to_int8("conv1", first_block_in, x8, stride=1)
+            stem_stride, stem_pad = 1, "SAME"
         else:
-            x8 = conv_to_int8(
-                "conv1", first_block_in, x8, stride=2, padding=[(3, 3), (3, 3)]
-            )
-            x8 = nn_max_pool(x8)  # monotone: commutes with the requant above
+            stem_stride, stem_pad = 2, [(3, 3), (3, 3)]
+        if self.int8_residual:
+            x8 = conv_to_int8("conv1", first_block_in, x8, stem_stride, stem_pad)
+            if model.stem != "s2d":
+                x8 = nn_max_pool(x8)  # monotone: commutes with the requant
+            x_bf = None
+        else:
+            x_bf = jax.nn.relu(conv_f32("conv1", x8, stem_stride, stem_pad))
+            if model.stem != "s2d":
+                x_bf = nn_max_pool(x_bf)
+            x_bf = x_bf.astype(jnp.bfloat16)
+            x8 = quant_to(first_block_in, x_bf)
 
-        # ---- residual stages, int8 trunk -----------------------------------
+        # ---- residual stages -----------------------------------------------
         out_f = None
         for bi, (name, stride) in enumerate(blocks):
             s_in = 1.0 / q[f"{name}/conv1"]["in_inv_scale"]
@@ -322,14 +350,17 @@ class QuantizedResNet:
             if f"{name}/downsample_conv" in q:
                 # same input tensor as conv1 → same calibrated scale: reuse x8
                 res_f = conv_f32(f"{name}/downsample_conv", x8, stride)
-            else:
+            elif self.int8_residual:
                 res_f = x8.astype(jnp.float32) * s_in
+            else:
+                res_f = x_bf.astype(jnp.float32)
             out_f = jax.nn.relu(y_f + res_f)
+            if not self.int8_residual:
+                x_bf = out_f.astype(jnp.bfloat16)
             if bi + 1 < len(blocks):
-                inv_next = q[f"{blocks[bi + 1][0]}/conv1"]["in_inv_scale"]
-                x8 = jnp.clip(jnp.round(out_f * inv_next), -127, 127).astype(
-                    jnp.int8
-                )
+                nxt = f"{blocks[bi + 1][0]}/conv1"
+                src = out_f if self.int8_residual else x_bf
+                x8 = quant_to(nxt, src)
 
         if features:
             return out_f.astype(jnp.bfloat16)
@@ -337,12 +368,13 @@ class QuantizedResNet:
         return f @ q["fc"]["kernel"] + q["fc"]["bias"]
 
 
-def quantize_resnet(model, variables, calib_batches):
+def quantize_resnet(model, variables, calib_batches, int8_residual: bool = False):
     """Post-training-quantize a trained float ResNet.
 
     model/variables: from ``get_model``/``init_model`` (or a restored
     checkpoint); calib_batches: iterable of (B, H, W, 3) float arrays in
-    [0, 1] (a handful of training batches is plenty).
+    [0, 1] (a handful of training batches is plenty). ``int8_residual``
+    selects the residual-stream precision (QuantizedResNet docstring).
 
     Returns ``(qmodel, qvariables)`` — drop-in for every fused pipeline:
     ``predict_full_fused(img, qmodel, qvariables, ...)``."""
@@ -365,4 +397,4 @@ def quantize_resnet(model, variables, calib_batches):
             "bias": b,
             "in_inv_scale": jnp.float32(1.0 / s_x),
         }
-    return QuantizedResNet(model), {"params": qparams}
+    return QuantizedResNet(model, int8_residual=int8_residual), {"params": qparams}
