@@ -55,7 +55,24 @@ def main():
     pairs = get_img_ano_paths(ds, sample="test")[: args.n_slides]
     halos = [int(h) for h in args.halos.split(",")]
 
-    for img_path, _ in pairs:
+    def ground_truth_map(anno_path, mh, mw, layer=2, downscale=16):
+        """Rasterize the slide's polygon annotations to the class map grid;
+        -1 = unannotated. Class index = sorted class order (the samplers'
+        convention, samplers/region.py:284)."""
+        import json as _json
+
+        from deephisto_tpu.slide.synthetic import rasterize_polygon_mask
+
+        regions = _json.loads(Path(anno_path).read_text())
+        names = sorted({r["class"] for r in regions})
+        gt = np.full((mh, mw), -1, np.int32)
+        for r in regions:
+            verts = np.asarray(r["vertices"], np.float64) / (layer * downscale)
+            mask = rasterize_polygon_mask(verts, mh, mw)
+            gt[mask] = names.index(r["class"])
+        return gt
+
+    for img_path, anno_path in pairs:
         with open_slide(img_path) as slide:
             h, w = slide.layer_size(2)
             image = jnp.asarray(slide.get_region_from_layer(2, (0, 0), (h, w)))
@@ -67,6 +84,23 @@ def main():
         score_exact = np.asarray(score_exact, np.float32)
         srt = np.sort(score_exact, axis=-1)
         margin = (srt[..., -1] - srt[..., -2]).ravel()
+
+        # ground truth: agreement with the exact path is only a proxy — the
+        # trained model has per-patch conv zero-padding baked in, so fcn
+        # windows legitimately disagree at low-margin cells; the real
+        # question is which map is more ACCURATE on the annotated cells
+        gt = ground_truth_map(anno_path, *am_exact.shape)
+        annotated = gt >= 0
+        acc_exact = float((am_exact == gt)[annotated].mean())
+        row = {
+            "measurement": "map_accuracy_vs_ground_truth",
+            "slide": img_path.name,
+            "mode": "exact_stride112",
+            "annotated_cells": int(annotated.sum()),
+            "accuracy": round(acc_exact, 5),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
         for halo in halos:
             am_fcn, _ = predict_full_fcn(
@@ -98,6 +132,10 @@ def main():
                 ) if flip.any() else None,
                 "median_margin_all": round(float(np.median(margin)), 4),
                 "flip_capture_by_margin_percentile": detail,
+                "accuracy_vs_ground_truth": round(
+                    float((am_fcn == gt)[annotated].mean()), 5
+                ),
+                "exact_accuracy_vs_ground_truth": round(acc_exact, 5),
             }
             rows.append(row)
             print(json.dumps(row), flush=True)

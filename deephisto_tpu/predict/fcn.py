@@ -222,9 +222,18 @@ def predict_full_fcn(
         )
     ty = -(-h // tile)
     tx = -(-w // tile)
+    # EDGE-replicated padding, not zeros: the halo ring outside the slide (and
+    # the grid round-up band) feeds real convolutions, and black (0) context
+    # is far out-of-distribution for a trained model — measured on the demo
+    # checkpoint, zero padding contaminated features deep enough into border
+    # tiles to flip half the map (benchmarks/fcn_agreement.py history);
+    # replicated tissue keeps border-tile features in-distribution. The exact
+    # patch path never reads beyond-slide pixels, so this only affects the
+    # synthetic halo ring.
     padded = jnp.pad(
         image,
         ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+        mode="edge",
     )
     program = _make_fcn_program(
         model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch
