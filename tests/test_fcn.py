@@ -178,3 +178,49 @@ def test_fcn_tile_batch_is_equivalent(small_model, image):
     )
     np.testing.assert_array_equal(am1, am4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s4), atol=1e-4)
+
+
+def test_context_window_model_matches_center_classification(small_model):
+    """ContextWindowModel: classifying the center block of a context window
+    equals GAP+fc over the corresponding center crop of the feature map."""
+    from deephisto_tpu.models.patch_cls_simple.context import ContextWindowModel
+
+    model, variables = small_model
+    ctx = ContextWindowModel(model, patch_size=PS, context=32)
+    x = np.random.default_rng(1).random((2, PS + 64, PS + 64, 3)).astype(np.float32)
+    logits = np.asarray(ctx.apply(variables, jnp.asarray(x)))
+    F = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        jnp.asarray(x), train=False, features=True,
+    )
+    c, wf = 1, PS // FS
+    pooled = np.asarray(F[:, c : c + wf, c : c + wf], np.float32).mean(axis=(1, 2))
+    fck = np.asarray(variables["params"]["fc"]["kernel"], np.float32)
+    fcb = np.asarray(variables["params"]["fc"]["bias"], np.float32)
+    np.testing.assert_allclose(logits, pooled @ fck + fcb, rtol=1e-4, atol=1e-4)
+
+    # train-mode path returns (logits, updates) like a flax module
+    out, upd = ctx.apply(variables, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 5) and "batch_stats" in upd
+
+
+def test_context_finetune_one_epoch_runs(small_model):
+    """ContextWindowModel is a drop-in for the fused train epoch."""
+    from deephisto_tpu.models.patch_cls_simple.context import ContextWindowModel
+    from deephisto_tpu.models.patch_cls_simple.train import make_fused_epoch
+    from deephisto_tpu.train import create_train_state
+
+    model, variables = small_model
+    ctx = ContextWindowModel(model, patch_size=PS, context=32)
+
+    def sample_fn(key):
+        k1, k2 = jax.random.split(key)
+        patches = jax.random.randint(k1, (4, PS + 64, PS + 64, 3), 0, 255, jnp.int32)
+        labels = jax.random.randint(k2, (4,), 0, 5)
+        return patches.astype(jnp.uint8), labels, None, None
+
+    state = create_train_state(ctx, variables, 1e-3)
+    epoch = make_fused_epoch(ctx, sample_fn, 4, 2)
+    state2, losses, corrects = epoch(state, jax.random.key(0))
+    assert np.isfinite(np.asarray(losses)).all()
