@@ -1,13 +1,15 @@
 """Post-training int8 quantization for the ResNet family — the TPU serving
 mode.
 
-The v5e MXU executes s8×s8→s32 at twice its bf16 rate. Measured end-to-end in
-the fused dense-predict harness (benchmarks/int8_quantized_speed.py): this
-path runs ResNet-18 at 28.5k patches/s vs 22.7k bf16 (+26%) and ResNet-50 at
-12.4k vs 10.3k (+20%) on one v5e chip (b256, 8192² slide; a shift-requant
-trunk ceiling-probe reaches 31.0k, benchmarks/int8_e2e.py). Accuracy on the
-trained demo checkpoint: int8 top-1 == float top-1 on all 900 test patches
-(benchmarks/int8_accuracy_tpu.jsonl). The
+The v5e MXU executes s8×s8→s32 at twice its bf16 rate. Measured end-to-end
+(benchmarks/int8_quantized_speed.py, round 3): the exact fused dense predict
+runs ResNet-18 at 28.4k patches/s vs 23.9k bf16 (+19%) and ResNet-50 at
+13.0k vs 10.6k (+23%) on one v5e chip (b256, 8192² slide); through the
+overlap-free fcn mode the same quantized model records **39.6k** equivalent
+patches/s (benchmarks/fcn_bench_tpu.jsonl). Accuracy on the trained demo
+checkpoint (round-3 defaults): int8 top-1 == float top-1 on all 900 test
+patches AND 100% argmax class-map agreement (0 flips in 4096 cells,
+benchmarks/int8_accuracy_tpu.jsonl). The
 reference has no quantized path (its backbone is torchvision fp32,
 reference models/patch_cls_simple/model.py:1-11); this module adds one the
 TPU-native way:
