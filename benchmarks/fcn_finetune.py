@@ -42,10 +42,21 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--context", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--init", action="store_true",
+                    help="train from scratch (same init as the demo) instead "
+                    "of fine-tuning the checkpoint — the clean context-"
+                    "training demonstration; the tiny demo set overfits any "
+                    "fine-tune within an epoch")
     args = ap.parse_args()
 
     out_path = Path(__file__).parent / f"fcn_finetune_{jax.default_backend()}.jsonl"
-    model, variables = load_model(args.weights, n_classes=5)
+    if args.init:
+        from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+
+        model = get_model(5)
+        variables = init_model(model)
+    else:
+        model, variables = load_model(args.weights, n_classes=5)
     ctx_model = ContextWindowModel(model, patch_size=224, context=args.context)
 
     ds = example_dataset()
@@ -73,6 +84,7 @@ def main():
     save_model(args.out, state.params, state.batch_stats)
     row = {
         "measurement": "fcn_context_finetune",
+        "from_scratch": args.init,
         "epochs": args.epochs,
         "context": args.context,
         "steps_x_batch": [args.steps, args.batch],
