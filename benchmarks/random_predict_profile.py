@@ -147,4 +147,61 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--batch_sweep" in _sys.argv:
+        batch_sweep()
+    else:
+        main()
+
+
+def batch_sweep():
+    """Amortize the ~11 ms/iter of non-forward overhead over bigger batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.predict.pipeline import predict_full_random_fused
+
+    H = W = 8192
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, pretrained=False)
+    out_path = Path(__file__).parent / (
+        f"random_predict_profile_{jax.default_backend()}.jsonl"
+    )
+    rows = []
+    for batch in (256, 512, 1024):
+        _, pred, _, filled, steps = predict_full_random_fused(
+            image, model, variables, n_classes=5, patch_size=224,
+            batch_size=batch, downscale=16, speedup=16,
+        )
+        float(jnp.asarray(pred).sum())
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _, pred, _, filled, steps = predict_full_random_fused(
+                image, model, variables, n_classes=5, patch_size=224,
+                batch_size=batch, downscale=16, speedup=16, seed=i + 1,
+            )
+            float(jnp.asarray(pred).sum())
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        rows.append({
+            "stage": "full_random_predict_batch_sweep", "batch": batch,
+            "best_s": round(dt, 4), "steps": int(steps),
+            "filled": round(float(filled), 4),
+            "patches_per_s": round(int(steps) * batch / dt, 1),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    with out_path.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    if "--batch_sweep" in sys.argv:
+        batch_sweep()
+    else:
+        main()
