@@ -146,15 +146,6 @@ def main():
             f.write(json.dumps(r) + "\n")
 
 
-if __name__ == "__main__":
-    import sys as _sys
-
-    if "--batch_sweep" in _sys.argv:
-        batch_sweep()
-    else:
-        main()
-
-
 def batch_sweep():
     """Amortize the ~11 ms/iter of non-forward overhead over bigger batches."""
     import jax

@@ -193,7 +193,7 @@ def predict_full_random_fused(
     variables: dict,
     n_classes: int,
     patch_size: int = 224,
-    batch_size: int = 256,
+    batch_size: int = 512,
     downscale: int = 16,
     speedup: int = 16,
     dense_level: int = 2,
