@@ -64,6 +64,51 @@ def _avg_pool_f32(x, span: int):
     return s / float(span * span)
 
 
+def _window_ensemble(wlog, wf: int, up: int, ky: int, kx: int, mh: int, mw: int):
+    """Stage 3 of the fcn reduction: per-map-cell average of the logits of
+    every 32-aligned window covering the cell, repeat-upsampled to the
+    downscale-``d`` map. ``wlog`` is the (ky, kx, n_classes) window-logit
+    grid; cell m is covered by windows k in [m//up - wf + 1, m//up]
+    (clipped), which is a count-normalized trailing pool of span ``wf``.
+    Shared by the single-chip program and the band-sharded multi-chip path
+    (parallel/spatial.py) so the two are numerically identical past stage 2.
+    Returns (argmax_map, score_map)."""
+    iy = -(-mh // up)  # trailing-average positions needed per axis
+    ix = -(-mw // up)
+
+    def trail(a, n_out, k_valid):
+        # a: (k_valid, ...) -> (n_out, ...) trailing averages over the
+        # <= wf windows ending at each position (count-normalized)
+        pad_front = wf - 1
+        pad_back = max(0, n_out - k_valid)
+        ap = jnp.pad(a, [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1))
+        s = jax.lax.reduce_window(
+            ap, 0.0, jax.lax.add,
+            (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
+        )[:n_out]
+        ones = jnp.pad(
+            jnp.ones((k_valid,) + (1,) * (a.ndim - 1), a.dtype),
+            [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1),
+        )
+        cnt = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add,
+            (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
+        )[:n_out]
+        return s / jnp.maximum(cnt, 1.0)
+
+    a = trail(wlog, iy, ky)
+    a = jnp.swapaxes(a, 0, 1)
+    a = trail(a, ix, kx)
+    a = jnp.swapaxes(a, 0, 1)  # (iy, ix, n_classes)
+    # replicate the last covered row/col into any uncovered tail cells
+    # (cells past the last 32-aligned window; module docstring)
+    idx_y = jnp.minimum(jnp.arange(iy), ky + wf - 2)
+    idx_x = jnp.minimum(jnp.arange(ix), kx + wf - 2)
+    a = a[idx_y][:, idx_x]
+    score = jnp.repeat(jnp.repeat(a, up, axis=0), up, axis=1)[:mh, :mw]
+    return jnp.argmax(score, axis=-1), score
+
+
 def _backbone_features(model, variables, x):
     return model.apply(
         {"params": variables["params"],
@@ -146,39 +191,7 @@ def _make_fcn_program(
         wlog = _avg_pool_f32(logit_map, wf)[:ky, :kx] + fc_bias
 
         # ---- stage 3: per-cell average over covering windows ------------
-        # cell m is covered by windows k in [m//up - wf + 1, m//up] (clipped);
-        # trailing count-normalized pool of span wf, then repeat-upsample.
-        def trail(a, n_out, k_valid):
-            # a: (k_valid, ...) -> (n_out, ...) trailing averages over the
-            # <= wf windows ending at each position (count-normalized)
-            pad_front = wf - 1
-            pad_back = max(0, n_out - k_valid)
-            ap = jnp.pad(a, [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1))
-            s = jax.lax.reduce_window(
-                ap, 0.0, jax.lax.add,
-                (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
-            )[:n_out]
-            ones = jnp.pad(
-                jnp.ones((k_valid,) + (1,) * (a.ndim - 1), a.dtype),
-                [(pad_front, pad_back)] + [(0, 0)] * (a.ndim - 1),
-            )
-            cnt = jax.lax.reduce_window(
-                ones, 0.0, jax.lax.add,
-                (wf,) + (1,) * (a.ndim - 1), (1,) * a.ndim, "VALID",
-            )[:n_out]
-            return s / jnp.maximum(cnt, 1.0)
-
-        a = trail(wlog, iy, ky)
-        a = jnp.swapaxes(a, 0, 1)
-        a = trail(a, ix, kx)
-        a = jnp.swapaxes(a, 0, 1)  # (iy, ix, n_classes)
-        # replicate the last covered row/col into any uncovered tail cells
-        # (cells past the last 32-aligned window; module docstring)
-        idx_y = jnp.minimum(jnp.arange(iy), ky + wf - 2)
-        idx_x = jnp.minimum(jnp.arange(ix), kx + wf - 2)
-        a = a[idx_y][:, idx_x]
-        score = jnp.repeat(jnp.repeat(a, up, axis=0), up, axis=1)[:mh, :mw]
-        return jnp.argmax(score, axis=-1), score
+        return _window_ensemble(wlog, wf, up, ky, kx, mh, mw)
 
     return program
 
