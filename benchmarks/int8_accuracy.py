@@ -27,8 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from deephisto_tpu.models import quantize_model
     from deephisto_tpu.models.patch_cls_simple import utils as mutils
-    from deephisto_tpu.models.quantize import quantize_resnet
     from deephisto_tpu.predict import load_model, predict_full_fused
     from deephisto_tpu.predict.pipeline import dense_coords
     from deephisto_tpu.samplers import AnnoRegionRndSampler
@@ -47,6 +47,7 @@ def main():
 
     cfg = mutils.load_config(args.config) if args.config else None
     model, variables = load_model(args.weights, n_classes=5, cfg=cfg)
+    tag = (cfg or {}).get("model", {}).get("arch", "resnet")
 
     # --- calibration: 4 real training batches through the device sampler ---
     ds = example_dataset()
@@ -59,7 +60,7 @@ def main():
     for i in range(4):
         patches, _, _, _ = fn(jax.random.key(100 + i))
         calib.append(np.asarray(patches, np.float32) / 255.0)
-    qmodel, qvars = quantize_resnet(model, variables, calib)
+    qmodel, qvars = quantize_model(model, variables, calib)
 
     # --- test-set accuracy, float vs int8 ---
     if args.test_dir.is_dir():
@@ -76,18 +77,16 @@ def main():
                 correct += int((logits.argmax(1) == labels[i : i + bs]).sum())
             return correct / len(images)
 
+        fvars = {"params": variables["params"]}
+        if "batch_stats" in variables:  # ViT checkpoints carry no BN stats
+            fvars["batch_stats"] = variables["batch_stats"]
         acc_f = eval_acc(
-            jax.jit(
-                lambda x: model.apply(
-                    {"params": variables["params"],
-                     "batch_stats": variables.get("batch_stats", {})},
-                    x, train=False,
-                )
-            )
+            jax.jit(lambda x: model.apply(fvars, x, train=False))
         )
         acc_q = eval_acc(jax.jit(lambda x: qmodel.apply(qvars, x)))
         row = {
             "measurement": "test_set_accuracy",
+            "model": tag,
             "n": int(len(images)),
             "float_top1": round(acc_f, 4),
             "int8_top1": round(acc_q, 4),
@@ -130,6 +129,7 @@ def main():
     agree = float((am_f == am_q).mean())
     row = {
         "measurement": "fused_predict_float_vs_int8",
+        "model": tag,
         "slide": [int(h), int(w)],
         "patches": n_patches,
         "float_patches_per_s": round(n_patches / dt_f, 1),
@@ -160,6 +160,7 @@ def main():
     flip_margins = margin[flip]
     row = {
         "measurement": "int8_flip_margin_analysis",
+        "model": tag,
         "n_cells": int(flip.size),
         "n_flips": int(flip.sum()),
         "median_margin_all": round(float(np.median(margin)), 4),

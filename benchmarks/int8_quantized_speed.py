@@ -20,15 +20,15 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-MODELS = {"r18": 18, "r50": 50}
+MODELS = {"r18": 18, "r50": 50, "vit": 6}
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from deephisto_tpu.models import quantize_model
     from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
-    from deephisto_tpu.models.quantize import quantize_resnet
     from deephisto_tpu.predict.pipeline import dense_coords, predict_full_fused
 
     ap = argparse.ArgumentParser()
@@ -77,12 +77,18 @@ def main():
         print(json.dumps(row), flush=True)
 
     for name in args.configs.split(","):
-        depth = MODELS[name.strip()]
-        model = get_model(5, depth=depth, stem="s2d")
+        name = name.strip()
+        depth = MODELS[name]
+        if name == "vit":
+            model = get_model(5, depth=depth, arch="vit")
+            suffix = ""
+        else:
+            model = get_model(5, depth=depth, stem="s2d")
+            suffix = "_s2d"
         variables = init_model(model, pretrained=False)
-        timed(model, variables, f"bf16_{name}_s2d")
-        qmodel, qvars = quantize_resnet(model, variables, calib)
-        timed(qmodel, qvars, f"int8_{name}_s2d")
+        timed(model, variables, f"bf16_{name}{suffix}")
+        qmodel, qvars = quantize_model(model, variables, calib)
+        timed(qmodel, qvars, f"int8_{name}{suffix}")
         del variables, qvars
 
     with out_path.open("a") as f:
