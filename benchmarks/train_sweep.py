@@ -44,14 +44,18 @@ def run_config(name: str, batch: int, sampler, out_path: Path, steps: int = 40):
 
     key = jax.random.key(0)
 
-    # XLA's own FLOP count for the whole fused epoch (sampling + fwd + bwd +
-    # update), for achieved-TFLOP/s rows (same method as mxu_sweep.py)
+    # XLA's own FLOP count for ONE fused step (sampling + fwd + bwd + update),
+    # scaled by the step count. Cost-analyzing the scanned epoch itself counts
+    # the while-loop body ONCE (XLA cannot see the trip count), which is how
+    # the first recorded rows under-reported achieved TFLOP/s ~40x — so lower
+    # a 1-step epoch instead (same method as mxu_sweep.py's per-patch fwd).
     epoch_flops = float("nan")
     try:
-        analysis = fused_epoch.lower(state, key).compile().cost_analysis()
+        one_step = make_fused_epoch(model, sampler, batch, 1)
+        analysis = one_step.lower(state, key).compile().cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
-        epoch_flops = float(analysis["flops"])
+        epoch_flops = float(analysis["flops"]) * steps
     except Exception as e:
         print(f"  (cost_analysis failed: {e})", file=sys.stderr)
 
