@@ -34,13 +34,40 @@ def _on_tpu() -> bool:
 
 
 # Below this sequence length the plain jnp attention BEATS the Pallas flash
-# kernel on TPU: at the production 224²/16 = 196-token shape the score matrix
-# is only 196² elements — there is nothing worth tiling away, while the
-# kernel pays 256-padding, SegmentIds masking, and per-block launch overhead.
-# Measured end-to-end (fused dense predict, v5e, b256): jnp 12.0k patches/s
-# vs flash 5.5k — 2.2× in favor of jnp. Flash wins again once the (N, N)
-# matrix stops fitting comfortably; 1024 is a conservative crossover.
-FLASH_MIN_SEQ = 1024
+# kernel on TPU; from here up the kernel wins — WITH TUNED BLOCK SIZES
+# (_flash_block_sizes): the kernel's default BlockSizes run a flat ~8.5
+# TFLOP/s on v5e at every length, losing to jnp everywhere, while tuned
+# blocks sustain 45-64 TFLOP/s. Measured v5e crossover sweep
+# (benchmarks/attention_sweep_tpu.jsonl, differential timing, (b,6,n,64)
+# shapes at constant total tokens):
+#
+#     n      jnp TFLOP/s   flash(default)   flash(tuned)
+#     196       24.7            4.1              —
+#     256       23.8             —              18.1
+#     512       26.9            8.2             45.3
+#     768       28.1             —              35.3
+#     1024      28.2            8.1             54.2
+#     2048      29.4            8.5             57.8
+#     4096      28.9            8.5             64.1
+#
+# The production 224²/16 = 196-token predict shape pads to 256 and stays on
+# the jnp path (also measured end-to-end: 12.0k vs 5.5k patches/s in the
+# kernel's disfavor); 512+ tokens (patch=8 configs) take the tuned kernel.
+FLASH_MIN_SEQ = 512
+
+
+def _flash_block_sizes(n: int):
+    """Measured-optimal v5e BlockSizes for the flash kernel at padded length
+    ``n`` (multiple of 128). The sweep is insensitive to the exact combo once
+    block_kv >= 1024 and block_q >= 512 (±5%); block_b > 1 never helped."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    return BlockSizes(
+        block_q=min(512, n),
+        block_k_major=min(1024, n),
+        block_k=min(1024, n),
+        block_b=1,
+    )
 
 
 def _attention(q, k, v, use_flash: bool):
@@ -72,10 +99,14 @@ def _attention(q, k, v, use_flash: bool):
             ids = jnp.broadcast_to(ids[None], (b, n + n_pad))
             seg = SegmentIds(q=ids, kv=ids)
             out = flash_attention(
-                qp, kp, vp, segment_ids=seg, causal=False, sm_scale=scale
+                qp, kp, vp, segment_ids=seg, causal=False, sm_scale=scale,
+                block_sizes=_flash_block_sizes(n + n_pad),
             )
             return out[:, :, :n, :]
-        return flash_attention(q, k, v, causal=False, sm_scale=scale)
+        return flash_attention(
+            q, k, v, causal=False, sm_scale=scale,
+            block_sizes=_flash_block_sizes(n),
+        )
 
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
