@@ -17,10 +17,11 @@ from .mesh import (
     replicated,
     shard_batch,
 )
-from .spatial import band_partition, predict_full_spatial
+from .spatial import band_partition, predict_full_fcn_spatial, predict_full_spatial
 
 __all__ = [
     "band_partition",
+    "predict_full_fcn_spatial",
     "predict_full_spatial",
     "DATA_AXIS",
     "HOST_AXIS",

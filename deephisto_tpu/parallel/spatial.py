@@ -43,6 +43,156 @@ def band_partition(h: int, n_bands: int, patch_size: int, halo: int = 0):
     return starts.astype(np.int32), int(band_rows), padded_h
 
 
+def predict_full_fcn_spatial(
+    image,
+    model,
+    variables: dict,
+    n_classes: int,
+    mesh: Mesh,
+    patch_size: int = 224,
+    downscale: int = 16,
+    tile: int = 1024,
+    halo: int = 64,
+    tile_batch: int = 8,
+):
+    """Band-sharded overlap-free fcn predict (predict/fcn.py) — the headline
+    serving mode distributed over the mesh's ``data`` axis.
+
+    Bands align to TILE rows, so stage 1 (the per-tile backbone scan) is
+    bit-identical to the single-chip program's tile partitioning; each device
+    computes features only for its own tile rows. The single cross-band
+    coupling is the window pool's ``wf - 1`` (= 6) feature-row overlap, moved
+    with ONE ``ppermute`` of the top feature rows to the previous band
+    (~(wf-1)·fw·C bf16 per link — a few MB, pure ICI). Stage 3 runs on the
+    gathered window-logit grid (ky·kx·n_classes — tiny) through the same
+    ``_window_ensemble`` as the single-chip path, so the result is
+    numerically IDENTICAL to ``predict_full_fcn`` with the same
+    tile/halo/tile_batch (asserted in tests/test_multichip.py).
+
+    Returns (argmax_map, score_map) like ``predict_full_fcn``.
+    """
+    from ..predict.fcn import (
+        FEATURE_STRIDE,
+        _avg_pool_f32,
+        _backbone_features,
+        _window_ensemble,
+    )
+    from ..predict.pipeline import model_input
+
+    fs = FEATURE_STRIDE
+    if patch_size % fs:
+        raise ValueError(f"patch_size must be a multiple of {fs}")
+    if fs % downscale:
+        raise ValueError(f"downscale must divide {fs}")
+    if tile % fs or halo % fs:
+        raise ValueError(f"tile and halo must be multiples of {fs}")
+    n_dev = mesh.shape[DATA_AXIS]
+    image = np.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if h < patch_size or w < patch_size:
+        raise ValueError(f"layer size {(h, w)} is smaller than {patch_size}")
+
+    wf = patch_size // fs
+    up = fs // downscale
+    ft = tile // fs
+    ty = -(-h // tile)
+    tx = -(-w // tile)
+    ty_per = -(-ty // n_dev)  # tile rows per band (last bands may be padding)
+    wp = tx * tile
+    ky = (h - patch_size) // fs + 1
+    kx = (w - patch_size) // fs + 1
+    mh, mw = h // downscale, w // downscale
+
+    # edge-replicated padding (NOT zeros — fcn.py docstring: black context is
+    # OOD for trained models), out to the band grid + halo ring
+    padded = np.pad(
+        image,
+        (
+            (halo, n_dev * ty_per * tile - h + halo),
+            (halo, wp - w + halo),
+            (0, 0),
+        ),
+        mode="edge",
+    )
+    band_rows = ty_per * tile + 2 * halo
+    bands = np.stack(
+        [padded[i * ty_per * tile : i * ty_per * tile + band_rows]
+         for i in range(n_dev)]
+    )
+    bands_dev = jax.device_put(
+        jnp.asarray(bands), NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    )
+
+    # per-step tile index batches within a band (same clamp trick as
+    # fcn._make_fcn_program)
+    n_tiles = ty_per * tx
+    tb = max(1, min(tile_batch, n_tiles))
+    n_steps = -(-n_tiles // tb)
+    idx = np.arange(n_steps * tb)
+    idx[n_tiles:] = n_tiles - 1
+    idx = jnp.asarray(idx.reshape(n_steps, tb))
+
+    hh = halo // fs
+    fw_band = wp // fs
+    perm = [(i, i - 1) for i in range(1, n_dev)]
+
+    @jax.jit
+    def run(bands, variables):
+        fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
+        fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS),
+        )
+        def band_wlog(band_img):
+            band_img = band_img[0]  # (band_rows, wp + 2*halo, 3) local block
+
+            def tile_step(_, idxs):
+                def slice_one(t):
+                    return jax.lax.dynamic_slice(
+                        band_img,
+                        ((t // tx) * tile, (t % tx) * tile, 0),
+                        (tile + 2 * halo, tile + 2 * halo, 3),
+                    )
+
+                xin = jax.vmap(slice_one)(idxs)
+                xin = model_input(model, xin)
+                f = _backbone_features(model, variables, xin)
+                return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+
+            _, tiles_f = jax.lax.scan(tile_step, None, idx)
+            c = tiles_f.shape[-1]
+            feat = (
+                tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
+                .reshape(ty_per, tx, ft, ft, c)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(ty_per * ft, fw_band, c)
+            )
+            # halo exchange: previous band needs my first wf-1 feature rows
+            # for its trailing window pools. The last band receives zeros —
+            # its tail window rows are >= ky and are sliced off below.
+            top = feat[: wf - 1]
+            recv = (
+                jax.lax.ppermute(top, DATA_AXIS, perm)
+                if perm
+                else jnp.zeros_like(top)
+            )
+            feat_ext = jnp.concatenate([feat, recv], axis=0)
+            logit_map = feat_ext.astype(jnp.float32) @ fc_kernel
+            wlog = _avg_pool_f32(logit_map, wf)[: ty_per * ft, :kx] + fc_bias
+            return wlog[None]  # (1, ty_per*ft, kx, n_classes) -> stacked
+
+        wlog_bands = band_wlog(bands)  # (n_dev, ty_per*ft, kx, n_classes)
+        wlog = wlog_bands.reshape(n_dev * ty_per * ft, kx, n_classes)[:ky]
+        return _window_ensemble(wlog, wf, up, ky, kx, mh, mw)
+
+    argmax_map, score = run(bands_dev, variables)
+    return np.asarray(argmax_map), score
+
+
 def predict_full_spatial(
     image,
     model,

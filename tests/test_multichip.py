@@ -159,3 +159,39 @@ def test_spatial_sharded_predict_matches_single():
     )
     # padded lanes are zero-masked in both paths — the maps must agree exactly
     np.testing.assert_array_equal(single, spatial)
+
+
+@pytest.mark.parametrize("n_dev", [8, 2])
+def test_fcn_spatial_matches_single_chip(n_dev):
+    """The band-sharded fcn predict (stage-1 bands aligned to tile rows + one
+    ppermute halo exchange) must reproduce the single-chip fcn program for the
+    same tile/halo/tile_batch: the tile partitioning is identical, the
+    exchanged feature rows are the same values the single-chip pool reads, and
+    stage 3 is the shared _window_ensemble. n_dev=8 exercises one-tile-row
+    bands + padding bands past the slide; n_dev=2 exercises multi-row bands
+    and in-band feature assembly."""
+    import numpy as np
+
+    from deephisto_tpu.models.resnet import BasicBlock, ResNet
+    from deephisto_tpu.parallel import make_mesh, predict_full_fcn_spatial
+    from deephisto_tpu.predict.fcn import predict_full_fcn
+
+    ps, d = 64, 16
+    model = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=BasicBlock, num_classes=5,
+        num_filters=8, stem="s2d",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, ps, ps, 3)))
+    img = np.random.default_rng(3).integers(0, 255, (160, 130, 3), dtype=np.uint8)
+
+    kw = dict(n_classes=5, patch_size=ps, downscale=d, tile=32, halo=32,
+              tile_batch=2)
+    am_single, s_single = predict_full_fcn(img, model, variables, **kw)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    am_multi, s_multi = predict_full_fcn_spatial(
+        img, model, variables, mesh=mesh, **kw
+    )
+    np.testing.assert_array_equal(am_single, am_multi)
+    np.testing.assert_allclose(
+        np.asarray(s_single), np.asarray(s_multi), rtol=1e-5, atol=1e-5
+    )
