@@ -81,8 +81,11 @@ def main():
         p, lab, _, _ = tf(jax.random.key(9000 + i))
         eval_x.append(np.asarray(p))
         eval_y.append(np.asarray(lab))
-    eval_x = np.concatenate(eval_x)
-    eval_y = np.concatenate(eval_y)
+    # stage the eval set on device ONCE as u8 (616 MB of f32 re-uploaded per
+    # epoch through the ~38 MB/s tunnel would dominate the whole study);
+    # per-chunk slicing + /255 then run on device
+    eval_x = jax.device_put(jnp.asarray(np.concatenate(eval_x), jnp.uint8))
+    eval_y = jax.device_put(jnp.asarray(np.concatenate(eval_y)))
 
     train_sampler = AnnoRegionRndSampler(
         train_pairs, patch_size=224, layer=2, patches_from_one_region=4,
@@ -109,8 +112,8 @@ def main():
         def test_acc(state):
             correct = 0
             for i in range(0, len(eval_x), 256):
-                x = jnp.asarray(eval_x[i : i + 256], jnp.float32) / 255.0
-                _, c, _ = eval_step(state, x, jnp.asarray(eval_y[i : i + 256]))
+                x = eval_x[i : i + 256].astype(jnp.float32) / 255.0
+                _, c, _ = eval_step(state, x, eval_y[i : i + 256])
                 correct += int(c)
             return correct / len(eval_x)
 
