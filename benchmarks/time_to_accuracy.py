@@ -124,23 +124,53 @@ def main():
         float(jnp.sum(losses))
         acc0 = test_acc(state)
 
+        # host-side warmup + cosine decay through the injected-LR hook
+        # (train/state.py set_learning_rate — no recompile). The first study
+        # run at CONSTANT lr oscillated 0.01<->0.59 test acc between adjacent
+        # epochs at ~0.87 train acc: the hard regime needs the decay tail.
+        from deephisto_tpu.train import set_learning_rate
+
+        warm_ep = 2
+
+        def lr_at(epoch):
+            if epoch <= warm_ep:
+                return lr * epoch / warm_ep
+            t = (epoch - warm_ep) / max(1, args.epochs - warm_ep)
+            return lr * (0.02 + 0.98 * 0.5 * (1 + np.cos(np.pi * t)))
+
         wall = 0.0
         hit = None
+        prev_acc = acc0
+        accs, walls = [], []
         for epoch in range(1, args.epochs + 1):
+            state = set_learning_rate(state, lr_at(epoch))
             t0 = time.perf_counter()
             state, losses, corrects = fused_epoch(state, jax.random.fold_in(key, epoch))
             float(jnp.sum(losses))
             wall += time.perf_counter() - t0
             acc = test_acc(state)
+            # de-noised "sustained" accuracy: two consecutive evals at/above
+            sustained = min(acc, prev_acc)
+            prev_acc = acc
+            accs.append(sustained)
+            walls.append(wall)
             row = {
-                "config": name, "epoch": epoch,
+                "config": name, "epoch": epoch, "lr": round(lr_at(epoch), 6),
                 "train_wall_s": round(wall, 2), "test_acc": round(acc, 4),
+                "sustained_acc": round(sustained, 4),
                 "train_acc": round(float(jnp.sum(corrects)) / (args.steps * args.batch), 4),
             }
             rows.append(row)
             print(json.dumps(row), flush=True)
-            if hit is None and acc >= args.target:
+            if hit is None and sustained >= args.target:
                 hit = (epoch, wall)
+        time_to = {
+            f"{t:.2f}": (
+                round(walls[next(i for i, a in enumerate(accs) if a >= t)], 2)
+                if any(a >= t for a in accs) else None
+            )
+            for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+        }
         summary = {
             "config": name, "measurement": "time_to_target",
             "target": args.target, "epochs_run": args.epochs,
@@ -148,6 +178,8 @@ def main():
             "hit_epoch": hit[0] if hit else None,
             "hit_wall_s": round(hit[1], 2) if hit else None,
             "final_acc": round(acc, 4),
+            "best_sustained_acc": round(max(accs), 4),
+            "wall_s_to_sustained": time_to,
             "batch": args.batch, "steps_per_epoch": args.steps,
         }
         rows.append(summary)
