@@ -83,6 +83,13 @@ def main():
         variables = init_model(model, pretrained=False)
         if name.endswith("_int8"):
             model, variables = quantize_resnet(model, variables, calib)
+        elif name.endswith("_int8res"):
+            # int8 residual carry (speed mode) — isolates whether the bf16
+            # residual stream's HBM traffic is what caps int8 gains at fcn's
+            # giant spatial extents (quantize.py QuantizedResNet docstring)
+            model, variables = quantize_resnet(
+                model, variables, calib, int8_residual=True
+            )
         for tile in tiles:
             timed(
                 lambda: predict_full_fcn(

@@ -9,7 +9,7 @@ from .full_patched import (
 )
 from .fcn import fcn_equivalent_patches, predict_full_fcn
 from .pipeline import dense_coords, predict_full_fused, predict_full_random_fused
-from .streaming import predict_full_streamed
+from .streaming import predict_full_fcn_streamed, predict_full_streamed
 
 __all__ = [
     "ImagePredictorPatched",
@@ -19,6 +19,7 @@ __all__ = [
     "load_model",
     "predict_full_fcn",
     "perform_and_save_visualizations",
+    "predict_full_fcn_streamed",
     "predict_full_fused",
     "predict_full_random_fused",
     "predict_full_streamed",

@@ -20,6 +20,7 @@ resident path's throughput.
 
 from __future__ import annotations
 
+import functools
 import threading
 
 import jax
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
+from .fcn import FEATURE_STRIDE, _backbone_features, _window_ensemble
 from .pipeline import model_input
 from ..ops.stitch import scatter_add_map_exact
 
@@ -180,3 +182,209 @@ def predict_full_streamed(
             current = next_buf[0]
 
     return np.asarray(jnp.argmax(pred_map, axis=-1)), pred_map
+
+
+@functools.lru_cache(maxsize=16)
+def _make_fcn_stripe_program(
+    model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch
+):
+    """One compiled program per stripe shape: stage-1 tile-batched backbone
+    features for the stripe's ``own`` pixel rows (+``halo`` context staged on
+    both sides), fc projection, and the row+column window pools — carrying the
+    previous stripe's last wf-1 logit-map rows so window sums that straddle a
+    stripe seam are exact. Mirrors predict/fcn.py stages 1-2 tile for tile so
+    the streamed map is bit-identical to the resident fcn program's."""
+    fs = FEATURE_STRIDE
+    wf = patch_size // fs
+    ft = tile // fs
+    fr = own // fs  # feature rows owned per stripe
+    fw = wp // fs
+    tx = wp // tile
+    ty_s = own // tile  # tile rows per stripe
+    n_tiles = ty_s * tx
+    tb = max(1, min(tile_batch, n_tiles))
+    n_steps = -(-n_tiles // tb)
+    idx = np.arange(n_steps * tb)
+    idx[n_tiles:] = n_tiles - 1
+
+    @jax.jit
+    def program(stripe_img, tail, variables):
+        hh = halo // fs
+
+        def tile_step(_, idxs):
+            def slice_one(t):
+                return jax.lax.dynamic_slice(
+                    stripe_img,
+                    ((t // tx) * tile, (t % tx) * tile, 0),
+                    (tile + 2 * halo, tile + 2 * halo, 3),
+                )
+
+            xin = jax.vmap(slice_one)(idxs)
+            xin = model_input(model, xin)
+            f = _backbone_features(model, variables, xin)
+            return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+
+        fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
+        _, tiles_f = jax.lax.scan(
+            tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
+        )
+        c = tiles_f.shape[-1]
+        feat = (
+            tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
+            .reshape(ty_s, tx, ft, ft, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(fr, fw, c)
+        )
+        logits = feat.astype(jnp.float32) @ fc_kernel  # (fr, fw, n_classes)
+        cat = jnp.concatenate([tail, logits], axis=0)  # (wf-1+fr, fw, ncls)
+        # same two 1-D VALID sum-pools + /wf^2 as fcn._avg_pool_f32, split at
+        # the stripe boundary — bit-identical partial sums
+        s = jax.lax.reduce_window(
+            cat, 0.0, jax.lax.add, (wf, 1, 1), (1, 1, 1), "VALID"
+        )
+        s = jax.lax.reduce_window(
+            s, 0.0, jax.lax.add, (1, wf, 1), (1, 1, 1), "VALID"
+        )
+        win_rows = (s / float(wf * wf))[:, :kx]  # starts r0-(wf-1)..r0+fr-wf
+        return win_rows, logits[-(wf - 1) :]
+
+    return program
+
+
+@functools.lru_cache(maxsize=16)
+def _make_fcn_finish_program(wf, up, ky, kx, mh, mw):
+    """Cached stage-3 program: slice the stacked window-logit rows to the
+    valid start range, add the fc bias, and run the per-cell window-ensemble
+    average (fcn._window_ensemble)."""
+
+    @jax.jit
+    def finish(stacked, fc_bias):
+        wlog = stacked[wf - 1 : wf - 1 + ky] + fc_bias
+        return _window_ensemble(wlog, wf, up, ky, kx, mh, mw)
+
+    return finish
+
+
+def predict_full_fcn_streamed(
+    slide_layer,
+    model,
+    variables: dict,
+    n_classes: int,
+    patch_size: int = 224,
+    downscale: int = 16,
+    stripe_rows: int = 2048,
+    tile: int = 1024,
+    halo: int = 64,
+    tile_batch: int = 8,
+    prestage_all: bool = False,
+    timings: dict | None = None,
+):
+    """Overlap-free fcn prediction for slides larger than the HBM budget:
+    the fcn program's stripe-streamed form (predict/fcn.py for the mode's
+    design and accuracy contract; this path is bit-identical to
+    ``predict_full_fcn`` on the same weights).
+
+    The slide streams through HBM in horizontal stripes of ``stripe_rows``
+    pixel rows (rounded down to a multiple of ``tile``). Each stripe runs
+    stage 1+2 (backbone features -> fc projection -> window pools) in one
+    compiled program; window sums straddling a stripe seam are exact because
+    the previous stripe's last wf-1 logit-map rows are carried on device.
+    Only the tiny (ky, kx, n_classes) window-logit grid accumulates across
+    stripes, so HBM holds one stripe (+ its double buffer) regardless of
+    slide size — the same over-budget contract as ``predict_full_streamed``
+    but with the backbone running once per pixel instead of ~4x.
+
+    Reference analog: the over-budget ONDISK role of
+    reference patch_samplers/full_samplers.py:406-423, redesigned TPU-first.
+    """
+    fs = FEATURE_STRIDE
+    if patch_size % fs:
+        raise ValueError(f"patch_size must be a multiple of {fs}")
+    if fs % downscale:
+        raise ValueError(f"downscale must divide {fs}")
+    if tile % fs or halo % fs:
+        raise ValueError(f"tile and halo must be multiples of {fs}")
+    img = slide_layer
+    h, w = int(img.shape[0]), int(img.shape[1])
+    if h < patch_size or w < patch_size:
+        raise ValueError(f"layer {(h, w)} smaller than patch_size {patch_size}")
+    wf = patch_size // fs
+    up = fs // downscale
+    own = max(tile, (stripe_rows // tile) * tile)
+    if (own // fs) < wf - 1:
+        raise ValueError("stripe_rows/tile too small for the window carry")
+    n_stripes = -(-h // own)
+    tx = -(-w // tile)
+    wp = tx * tile
+    fw = wp // fs
+    ky = (h - patch_size) // fs + 1
+    kx = (w - patch_size) // fs + 1
+    mh, mw = h // downscale, w // downscale
+
+    def stage(k):
+        """Slice stripe k's rows [y0-halo, y0+own+halo) with edge replication
+        beyond the slide (exactly predict_full_fcn's mode='edge' padding),
+        pad width to wp+2*halo the same way, and upload."""
+        y0 = k * own
+        ys = np.clip(np.arange(y0 - halo, y0 + own + halo), 0, h - 1)
+        rows = np.asarray(img[ys[0] : ys[-1] + 1])
+        # edge-replicate rows outside [0, h): top of stripe 0, bottom of the
+        # last stripe (and any round-up band)
+        top = halo - (y0 - int(ys[0]))
+        bot = (own + 2 * halo) - rows.shape[0] - top
+        rows = np.pad(
+            rows, ((top, max(0, bot)), (halo, wp - w + halo), (0, 0)), mode="edge"
+        )
+        return jax.device_put(rows)
+
+    program = _make_fcn_stripe_program(
+        model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch
+    )
+    fc_bias = jnp.asarray(
+        np.asarray(variables["params"]["fc"]["bias"], np.float32)
+    )
+    tail = jnp.zeros((wf - 1, fw, n_classes), jnp.float32)
+    pieces = []
+    _finish = _make_fcn_finish_program(wf, up, ky, kx, mh, mw)
+
+    def finish(stacked):
+        return _finish(stacked, fc_bias)
+
+    if prestage_all:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        staged = [stage(k) for k in range(n_stripes)]
+        for s in staged:
+            s.block_until_ready()
+        t1 = _time.perf_counter()
+        for k in range(n_stripes):
+            win_rows, tail = program(staged[k], tail, variables)
+            pieces.append(win_rows)
+        am, score = finish(jnp.concatenate(pieces, axis=0))
+        am = np.asarray(am)  # forces completion
+        t2 = _time.perf_counter()
+        if timings is not None:
+            timings["staging_s"] = t1 - t0
+            timings["compute_s"] = t2 - t1
+        return am, score
+
+    next_buf: list = [None]
+
+    def prefetch(k):
+        next_buf[0] = stage(k)
+
+    current = stage(0)
+    for k in range(n_stripes):
+        t = None
+        if k + 1 < n_stripes:
+            t = threading.Thread(target=prefetch, args=(k + 1,), daemon=True)
+            t.start()
+        win_rows, tail = program(current, tail, variables)
+        pieces.append(win_rows)
+        if t is not None:
+            t.join()
+            current = next_buf[0]
+
+    am, score = finish(jnp.concatenate(pieces, axis=0))
+    return np.asarray(am), score

@@ -50,6 +50,7 @@ def _brute_force_map(model, variables, image, tile, halo):
         jnp.pad(
             jnp.asarray(image),
             ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+            mode="edge",  # predict_full_fcn edge-replicates its halos
         )
     )
     ft = tile // FS
@@ -112,6 +113,30 @@ def test_fcn_matches_brute_force_window_ensemble(small_model, image):
     np.testing.assert_array_equal(am, np.argmax(ref, axis=-1))
 
 
+def test_fcn_bottleneck_matches_brute_force(image):
+    """The fcn reduction is backbone-shape-agnostic within the ResNet family:
+    a Bottleneck trunk (ResNet-50 family, 4x expansion — models/resnet.py)
+    still yields stride-32 features + a linear GAP/fc head, so the program
+    must reproduce the brute-force window ensemble exactly as for BasicBlock
+    (backs the r50 fcn serving rows in benchmarks/fcn_bench_tpu.jsonl)."""
+    from deephisto_tpu.models.resnet import Bottleneck
+
+    model = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck, num_classes=5,
+        num_filters=8, stem="s2d",
+    )
+    variables = model.init(jax.random.key(1), jnp.zeros((1, PS, PS, 3)))
+    am, score = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=192, halo=32
+    )
+    assert am.shape == (H // D, W // D)
+    ref = _brute_force_map(model, variables, image, tile=192, halo=32)
+    score = np.asarray(score, np.float32)
+    rel = np.abs(score - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, rel
+    np.testing.assert_array_equal(am, np.argmax(ref, axis=-1))
+
+
 def test_fcn_tile_seams_are_clean(small_model, image):
     """Small tiles + adequate halo reproduce the single-tile program."""
     model, variables = small_model
@@ -145,6 +170,79 @@ def test_fcn_agrees_with_exact_path_on_piecewise_constant_image(small_model):
     )
     agree = (am_fcn == am_exact).mean()
     assert agree > 0.75, agree
+
+
+def test_fcn_streamed_matches_resident(small_model, image):
+    """The stripe-streamed fcn (slides beyond HBM) is the resident fcn
+    program cut at stripe seams with a wf-1-row logit carry — same tile grid,
+    same pools, same ensemble, so the maps must be identical (the score to
+    f32 tolerance: stripe scan batching may group tiles differently)."""
+    from deephisto_tpu.predict import predict_full_fcn_streamed
+
+    model, variables = small_model
+    am_r, s_r = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=1,
+    )
+    am_s, s_s = predict_full_fcn_streamed(
+        image, model, variables, 5, patch_size=PS, downscale=D,
+        stripe_rows=64, tile=64, halo=32, tile_batch=1,
+    )
+    np.testing.assert_array_equal(am_r, am_s)
+    np.testing.assert_allclose(
+        np.asarray(s_r, np.float32), np.asarray(s_s, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fcn_streamed_single_stripe_and_batched(small_model, image):
+    """One covering stripe (no seams) and a multi-tile batch must agree with
+    the resident program too."""
+    from deephisto_tpu.predict import predict_full_fcn_streamed
+
+    model, variables = small_model
+    am_r, _ = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=4,
+    )
+    am_s, _ = predict_full_fcn_streamed(
+        image, model, variables, 5, patch_size=PS, downscale=D,
+        stripe_rows=192, tile=64, halo=32, tile_batch=4,
+    )
+    np.testing.assert_array_equal(am_r, am_s)
+
+
+def test_fcn_streamed_prestaged_timings(small_model, image):
+    from deephisto_tpu.predict import predict_full_fcn_streamed
+
+    model, variables = small_model
+    t = {}
+    am, _ = predict_full_fcn_streamed(
+        image, model, variables, 5, patch_size=PS, downscale=D,
+        stripe_rows=64, tile=64, halo=32, prestage_all=True, timings=t,
+    )
+    assert am.shape == (H // D, W // D)
+    assert t["staging_s"] > 0 and t["compute_s"] > 0
+
+
+def test_fcn_streamed_int8_composes(small_model, image):
+    """quantized model through the streamed fcn == resident fcn on the same
+    quantized weights (serving the over-budget int8 story)."""
+    from deephisto_tpu.models.quantize import quantize_resnet
+    from deephisto_tpu.predict import predict_full_fcn_streamed
+
+    model, variables = small_model
+    calib = [np.random.default_rng(5).random((4, PS, PS, 3)).astype(np.float32)]
+    qmodel, qvars = quantize_resnet(model, variables, calib)
+    am_r, _ = predict_full_fcn(
+        image, qmodel, qvars, 5, patch_size=PS, downscale=D, tile=64, halo=32,
+        tile_batch=1,
+    )
+    am_s, _ = predict_full_fcn_streamed(
+        image, qmodel, qvars, 5, patch_size=PS, downscale=D, stripe_rows=64,
+        tile=64, halo=32, tile_batch=1,
+    )
+    np.testing.assert_array_equal(am_r, am_s)
 
 
 def test_fcn_validation_errors(small_model, image):
