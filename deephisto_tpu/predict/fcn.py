@@ -219,7 +219,9 @@ def predict_full_fcn(
     run per scan step as one batched forward. Defaults are the measured v5e
     optimum (benchmarks/fcn_bench_tpu.jsonl: t1024/tb8/h64 → 30.2k bf16 /
     38.6k int8 equivalent patches/s vs 23.3k/28.5k exact; halo 32 adds ~9%
-    more, adjudicated by the agreement study).
+    more, adjudicated by the agreement study. ResNet-50: 20.5k bf16 / 21.1k
+    int8 at h64 — ~2x its exact path). For slides beyond the HBM budget use
+    :func:`deephisto_tpu.predict.predict_full_fcn_streamed` (bit-identical).
     """
     if patch_size % FEATURE_STRIDE:
         raise ValueError(f"patch_size must be a multiple of {FEATURE_STRIDE}")
