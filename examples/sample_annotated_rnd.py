@@ -24,11 +24,15 @@ if __name__ == "__main__":
     parser.add_argument(
         "--jax", action="store_true", help="device-resident batches (fastest path)"
     )
+    parser.add_argument(
+        "--n_batches", type=int, default=40,
+        help="batches to extract (reference hardcodes 40)",
+    )
     args = parser.parse_args()
 
     img_anno_paths = get_img_ano_paths(example_dataset(), sample="train")
 
-    n = 40  # number of batches to extract
+    n = args.n_batches  # number of batches to extract (reference: 40)
     b_size = 64  # number of patches per batch
     b_per_worker = 2  # accepted for parity; no worker processes exist
 

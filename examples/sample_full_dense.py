@@ -1,19 +1,28 @@
 """Example of using FullImageDenseSampler (mirror of reference
-examples/sample_full_dense.py)."""
+examples/sample_full_dense.py; flags default to its hardcoded values)."""
+
+import argparse
 
 from deephisto_tpu.samplers import FullImageDenseSampler, SamplerExecutionMode
 from examples._dataset import example_dataset
 from utils import get_img_ano_paths
 
 if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--layer", type=int, default=2)
+    parser.add_argument("--patch_size", type=int, default=224)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--stride", type=int, default=112)
+    args = parser.parse_args()
+
     img_path = get_img_ano_paths(example_dataset(), sample="test")[0][0]
 
     patch_sampler = FullImageDenseSampler(
         img_path,
-        layer=2,
-        patch_size=224,
-        batch_size=16,
-        stride=112,
+        layer=args.layer,
+        patch_size=args.patch_size,
+        batch_size=args.batch_size,
+        stride=args.stride,
         mode=SamplerExecutionMode.INMEMORY_SINGLEPROC,
     )
 

@@ -6,6 +6,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 import pytest
@@ -48,10 +49,53 @@ def test_cli_sample_full_dense(cli_env):
     assert "(16, 224, 224, 3)" in out
 
 
+@pytest.mark.slow  # ~95s: the cost is the fused sampler program's cold CPU
+# compile inside the subprocess, not the batch count — e2e stays in the slow
+# tier; the fast tier smoke below covers the CLI surface itself
 def test_cli_sample_annotated_rnd_jax(cli_env):
     env, root = cli_env
-    out = _run(["-m", "examples.sample_annotated_rnd", "--jax"], env, root)
+    out = _run(
+        ["-m", "examples.sample_annotated_rnd", "--jax", "--n_batches", "6"],
+        env, root,
+    )
     assert "items/s" in out and "patches extracted for classes" in out
+
+
+def test_cli_entry_points_argparse(cli_env):
+    """Fast-tier CLI smoke: every entry point imports and exposes its arg
+    surface (--help exits 0 before touching the dataset or compiling). The
+    full e2e subprocess runs live in the slow tier. All seven run
+    concurrently — each subprocess's cost is the interpreter+jax import."""
+    env, root = cli_env
+    modules = [
+        "examples.sample_annotated_rnd",
+        "examples.sample_annotated_dense",
+        "examples.sample_full_dense",
+        "examples.sample_full_random",
+        "examples.extract_patches_for_test_set",
+        "examples.predict_full_patched",
+        "models.patch_cls_simple.train",
+    ]
+    # file-backed output: PIPE would deadlock once a child fills its stderr
+    # buffer (the CPU compile-cache loader is chatty) while we wait on another
+    procs = {}
+    for m in modules:
+        out_f = open(root / f"{m}.out", "w+")
+        procs[m] = (
+            subprocess.Popen(
+                [sys.executable, "-m", m, "--help"], env=env, cwd=root,
+                stdout=out_f, stderr=subprocess.STDOUT, text=True,
+            ),
+            out_f,
+        )
+    deadline = time.monotonic() + 240
+    for m, (p, out_f) in procs.items():
+        rc = p.wait(timeout=max(1.0, deadline - time.monotonic()))
+        out_f.seek(0)
+        out = out_f.read()
+        out_f.close()
+        assert rc == 0, f"{m} --help failed:\n{out[-1500:]}"
+        assert "usage" in out.lower(), m
 
 
 @pytest.mark.slow

@@ -113,6 +113,7 @@ def test_fcn_matches_brute_force_window_ensemble(small_model, image):
     np.testing.assert_array_equal(am, np.argmax(ref, axis=-1))
 
 
+@pytest.mark.slow  # ~16s; the BasicBlock brute-force parity stays fast
 def test_fcn_bottleneck_matches_brute_force(image):
     """The fcn reduction is backbone-shape-agnostic within the ResNet family:
     a Bottleneck trunk (ResNet-50 family, 4x expansion — models/resnet.py)

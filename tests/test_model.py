@@ -84,6 +84,7 @@ def test_model_checkpoint_roundtrip(r18, tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow  # ~43s e2e resume program; fast tier keeps ckpt save/load units
 def test_train_state_checkpoint_resume(r18, tmp_path):
     model, variables = r18
     state = create_train_state(model, variables, learning_rate=1e-3)

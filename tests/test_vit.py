@@ -21,6 +21,7 @@ def test_vit_shapes(vit):
     assert out.shape == (2, 5) and out.dtype == jnp.float32
 
 
+@pytest.mark.slow  # ~19s; ViT forward/attention stay in the fast tier
 def test_vit_trains_one_step(vit):
     from deephisto_tpu.train import create_train_state
     from deephisto_tpu.train.metrics import cross_entropy_loss
@@ -58,6 +59,7 @@ def test_attention_fallback_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow  # ~15s factory compile; shapes covered by test_vit_shapes
 def test_get_model_vit_arch():
     from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
 
