@@ -60,9 +60,12 @@ def main():
     ctx_model = ContextWindowModel(model, patch_size=224, context=args.context)
 
     ds = example_dataset()
+    # labels come from the bare 224 patch (same intersection rule / class
+    # balance as patch training); pixels are the context window around it —
+    # make_sample_fn(context=...) via make_fused_epoch(ctx_model, ...)
     sampler = AnnoRegionRndSampler(
         get_img_ano_paths(ds, sample="train"),
-        patch_size=224 + 2 * args.context,
+        patch_size=224,
         layer=2,
         patches_from_one_region=4,
         one_image_for_batch=True,

@@ -84,13 +84,16 @@ def make_fused_epoch(model, sample_source, batch_size, n_steps, mesh=None, augme
     once per epoch instead of once per batch. ``sample_source`` is either a
     sampler (its ``make_sample_fn`` is used) or a pure sample function
     ``key -> (patches_u8, labels, coords, img_idx)`` (e.g. the
-    multi-magnification sampler). Returns
+    multi-magnification sampler). A ``ContextWindowModel`` (``model.context``
+    > 0) gets context windows from the sampler automatically. Returns
     ``epoch_fn(state, key) -> (state, losses, corrects)``.
     """
     if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
         sample_fn = sample_source
     else:
-        sample_fn = sample_source.make_sample_fn(batch_size)
+        sample_fn = sample_source.make_sample_fn(
+            batch_size, context=getattr(model, "context", 0)
+        )
     data_sharding = batch_sharding(mesh) if mesh is not None else None
 
     def body(state, k):
@@ -135,7 +138,9 @@ def make_fused_eval(model, sample_source, batch_size, n_steps):
     if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
         sample_fn = sample_source
     else:
-        sample_fn = sample_source.make_sample_fn(batch_size)
+        sample_fn = sample_source.make_sample_fn(
+            batch_size, context=getattr(model, "context", 0)
+        )
 
     def body(variables, k):
         patches, labels, _coords, _img = sample_fn(k)
@@ -278,7 +283,11 @@ def train(cfg, resume: bool = False, mesh=None):
                   "skipping it for the multi-mag configuration.")
             test_data = None
 
-    # model + state
+    # model + state. model.context > 0 trains the way fcn mode serves
+    # (models/patch_cls_simple/context.py): labels stay per-patch, pixels are
+    # the patch + its real surroundings, the head reads the center feature
+    # block — so the trained features match predict_full_fcn's exactly.
+    context = cfg["model"].get("context", 0)
     model = get_model(
         n_classes,
         depth=cfg["model"].get("depth", 18),
@@ -288,12 +297,24 @@ def train(cfg, resume: bool = False, mesh=None):
     )
     variables = init_model(
         model,
-        input_size=cfg["dataset"]["patch_size"],
+        input_size=cfg["dataset"]["patch_size"] + 2 * context,
         in_channels=in_channels,
         pretrained=in_channels == 3 and cfg["model"].get("arch", "resnet") == "resnet",
     )
+    train_model = model
+    if context:
+        if mm_layers:
+            raise ValueError("model.context is single-magnification only")
+        if cfg["model"].get("arch", "resnet") != "resnet":
+            raise ValueError("model.context requires a ResNet-family backbone")
+        from .context import ContextWindowModel
+
+        train_model = ContextWindowModel(
+            model, patch_size=cfg["dataset"]["patch_size"], context=context
+        )
+        print(f"Context-consistent training: window = patch + 2*{context}")
     state = create_train_state(
-        model,
+        train_model,
         variables,
         cfg["training"]["lr"],
         weight_decay=cfg["training"].get("weight_decay", 0.0),
@@ -321,7 +342,7 @@ def train(cfg, resume: bool = False, mesh=None):
 
     state = set_learning_rate(state, scheduler.lr)
 
-    _, eval_step = make_steps(model, mesh)
+    _, eval_step = make_steps(train_model, mesh)
 
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
@@ -336,9 +357,9 @@ def train(cfg, resume: bool = False, mesh=None):
     # the fused TPU-native epoch: sampling + augment + fwd/bwd + update for the
     # whole epoch in one device program — the host is touched once per epoch
     fused_epoch = make_fused_epoch(
-        model, sample_source, batch_size, train_steps, mesh=mesh
+        train_model, sample_source, batch_size, train_steps, mesh=mesh
     )
-    fused_eval = make_fused_eval(model, sample_source, batch_size, val_steps)
+    fused_eval = make_fused_eval(train_model, sample_source, batch_size, val_steps)
 
     base_key = jax.random.key(cfg["training"].get("seed", 0))
 
@@ -394,6 +415,15 @@ def train(cfg, resume: bool = False, mesh=None):
                     labs = np.concatenate([labs, np.repeat(labs[-1:], pad)])
                 else:
                     pad = 0
+                if context:
+                    # disk test patches are bare patch_size crops; give the
+                    # context model edge-replicated surroundings (the same
+                    # convention as fcn serving's slide-border halos)
+                    imgs = np.pad(
+                        imgs,
+                        ((0, 0), (context, context), (context, context), (0, 0)),
+                        mode="edge",
+                    )
                 x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
                 y = jnp.asarray(labs)
                 if mesh is not None:

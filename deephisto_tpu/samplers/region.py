@@ -390,13 +390,30 @@ class AnnoRegionRndSampler:
                 f"intersection {self.region_intersection}"
             )
 
-    def make_sample_fn(self, n: int, forced_cls: int | None = None, gather: bool = True):
+    def make_sample_fn(
+        self,
+        n: int,
+        forced_cls: int | None = None,
+        gather: bool = True,
+        context: int = 0,
+    ):
         """A pure function ``key -> (patches_u8, labels, coords, img_idx)``
         closing over the region table, weight matrices, and the slide bank as
         jit constants — embeddable inside larger jitted programs (the fused
         training epoch, fused random predict). With ``gather=False`` the
         returned function yields ``(labels, coords, img_idx)`` only, for
-        callers that gather differently (e.g. multi-magnification banks)."""
+        callers that gather differently (e.g. multi-magnification banks).
+
+        ``context > 0`` (context-consistent training, models/patch_cls_simple/
+        context.py): the LABEL still comes from the ``patch_size`` patch at the
+        sampled coords — same intersection rule, same class balance as bare
+        patch sampling — but the gathered pixels are the
+        ``patch_size + 2*context`` window around it, so the model trains on
+        the features fcn serving computes. Windows are clamped per-image to
+        the true layer bounds (never the bank's zero padding); within
+        ``context`` px of a slide edge the labeled patch sits off-center by
+        the clamp amount (annotated regions rarely touch slide edges; the fcn
+        analog is its edge-replicated halo)."""
         self._check_forced_cls(forced_cls)
         if gather and not self.bank.on_device:
             raise ValueError(
@@ -405,6 +422,8 @@ class AnnoRegionRndSampler:
                 "gather=False and gather on host, or the generator APIs "
                 "which handle host mode."
             )
+        if context and not gather:
+            raise ValueError("context requires gather=True")
         t = self.table
 
         def fn(key):
@@ -414,10 +433,28 @@ class AnnoRegionRndSampler:
                 t.cell_step, self._logw_cls_region,
                 self._logw_img_cls_region, self._cls_available,
                 self._img_cls_available, self._logw_img_all, self.bank.images,
-                n=n, forced_cls=forced_cls, gather=gather,
+                n=n, forced_cls=forced_cls, gather=gather and not context,
             )
 
-        return fn
+        if not context:
+            return fn
+
+        win = self.patch_size + 2 * context
+        hw = np.asarray(self.bank.layer_hw_arr, np.int32)
+        if (hw < win).any():
+            raise ValueError(
+                f"context window {win} exceeds a slide layer: {hw.min(0)}"
+            )
+        hw_dev = jnp.asarray(hw)
+        images = self.bank.images
+
+        def fn_ctx(key):
+            labels, coords, img_idx = fn(key)
+            start = jnp.clip(coords - context, 0, hw_dev[img_idx] - win)
+            windows = gather_patches_multi_xla(images, img_idx, start, win)
+            return windows, labels, coords, img_idx
+
+        return fn_ctx
 
     def _get_step(self, n: int, forced_cls: int | None):
         sig = (n, forced_cls)
@@ -868,13 +905,17 @@ def extract_and_save_subset(
             (out_folder / str(cls_idx)).mkdir(parents=True, exist_ok=True)
             continue
         (out_folder / str(cls_idx)).mkdir(parents=True, exist_ok=True)
-        n = patches_per_class // batch_size
+        # ceil + cap: floor division would save 0 patches for
+        # patches_per_class < batch_size and silently drop the remainder
+        n = -(-patches_per_class // batch_size)
         g = sampler.structs_generator(
             batch_size=batch_size, n_batches=n, cls_idx=cls_idx
         )
         count = 0
         for batch in g:
             for patch, _ in batch:
+                if count >= patches_per_class:
+                    break
                 Image.fromarray(patch.data).save(
                     out_folder / str(cls_idx) / f"{count}.jpg"
                 )

@@ -99,6 +99,41 @@ def test_rnd_sampler_forced_class_zero(rnd_sampler):
             assert cls == 0
 
 
+def test_rnd_sampler_context_windows(rnd_sampler):
+    """make_sample_fn(context=c): identical sampling stream (labels/coords)
+    to the bare-patch path, but the gathered pixels are the patch + its real
+    surroundings, clamped to the true per-image layer bounds — the labeled
+    patch's pixels appear verbatim inside the window at the clamped offset."""
+    import jax
+
+    CTX = 32
+    key = jax.random.key(5)
+    p, labels, coords, img_idx = rnd_sampler.make_sample_fn(8)(key)
+    w, labels2, coords2, img_idx2 = rnd_sampler.make_sample_fn(8, context=CTX)(key)
+
+    win = PS + 2 * CTX
+    assert w.shape == (8, win, win, 3) and w.dtype == p.dtype
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
+    np.testing.assert_array_equal(np.asarray(coords), np.asarray(coords2))
+    np.testing.assert_array_equal(np.asarray(img_idx), np.asarray(img_idx2))
+
+    hw = rnd_sampler.bank.layer_hw_arr
+    p, w = np.asarray(p), np.asarray(w)
+    for b in range(8):
+        y, x = np.asarray(coords2[b])
+        h_img, w_img = hw[int(img_idx2[b])]
+        sy = int(np.clip(y - CTX, 0, h_img - win))
+        sx = int(np.clip(x - CTX, 0, w_img - win))
+        np.testing.assert_array_equal(
+            w[b, y - sy : y - sy + PS, x - sx : x - sx + PS], p[b]
+        )
+
+
+def test_rnd_sampler_context_window_too_big(rnd_sampler):
+    with pytest.raises(ValueError, match="context window"):
+        rnd_sampler.make_sample_fn(4, context=256)
+
+
 def test_rnd_sampler_class_balance(rnd_sampler):
     counts = np.zeros(len(rnd_sampler.classes))
     for feats, labels, coords in rnd_sampler.jax_generator(32, 8):
@@ -233,6 +268,22 @@ def test_extract_and_save_subset(synthetic_dataset_module, tmp_path):
 
         im = Image.open(jpgs[0])
         assert im.size == (PS, PS)
+
+
+def test_extract_and_save_subset_non_multiple_count(synthetic_dataset_module, tmp_path):
+    """patches_per_class below/not a multiple of the internal batch size must
+    still save exactly that many (floor division used to save 0 for counts
+    < 4 and silently drop the remainder otherwise)."""
+    pairs = get_img_ano_paths(synthetic_dataset_module, "test")
+    out = extract_and_save_subset(
+        img_anno_paths=pairs,
+        out_folder=tmp_path / "patches3",
+        patch_size=PS,
+        layer=LAYER,
+        patches_per_class=3,
+    )
+    counts = [len(list(d.glob("*.jpg"))) for d in out.iterdir()]
+    assert counts and all(c == 3 for c in counts)
 
 
 def test_rnd_sampler_host_mode_bank(synthetic_dataset_module):

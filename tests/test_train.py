@@ -58,6 +58,37 @@ def test_train_program_end_to_end(tiny_cfg):
 
 
 @pytest.mark.slow
+def test_train_program_with_context(tiny_cfg, tmp_path):
+    """model.context > 0: the full trainer runs context-consistent training
+    (context windows from the sampler, edge-padded disk test patches) and the
+    saved checkpoint is a plain base-model checkpoint that fcn serving loads."""
+    from deephisto_tpu.models.patch_cls_simple.train import prepare_test_patches, train
+
+    cfg = {k: dict(v) for k, v in tiny_cfg.items()}
+    cfg["model"] = dict(cfg["model"], context=32)
+    cfg["training"] = dict(
+        cfg["training"], save_dir=str(tmp_path / "ckpt"), out_dir=str(tmp_path / "out")
+    )
+    cfg["test"] = {"dir": str(tmp_path / "test"), "samples_per_class": 4}
+    prepare_test_patches(cfg)
+    result = train(cfg)
+    assert len(result["test_accuracies"]) == 2
+    assert all(np.isfinite(v) for v in result["train_losses"])
+
+    from pathlib import Path
+
+    from deephisto_tpu.predict import load_model
+
+    model, variables = load_model(
+        Path(cfg["training"]["out_dir"]) / "best_model.msgpack", n_classes=5
+    )
+    import jax.numpy as jnp
+
+    logits = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert logits.shape == (1, 5)
+
+
+@pytest.mark.slow
 def test_train_resume_continues(tiny_cfg):
     from deephisto_tpu.models.patch_cls_simple.train import train
 
