@@ -96,6 +96,7 @@ def main():
             "measurement": "map_accuracy_vs_ground_truth",
             "slide": img_path.name,
             "mode": "exact_stride112",
+            "weights": str(args.weights),
             "annotated_cells": int(annotated.sum()),
             "accuracy": round(acc_exact, 5),
         }
@@ -123,6 +124,7 @@ def main():
             row = {
                 "measurement": "fcn_vs_exact_agreement",
                 "slide": img_path.name,
+                "weights": str(args.weights),
                 "map_cells": int(flip.size),
                 "halo": halo,
                 "tile": args.tile,
