@@ -20,12 +20,48 @@ vs_baseline is measured against the driver-set target of 10,000 patches/s/chip
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+_PROBE = (
+    "import jax, jax.numpy as jnp; "
+    "x = jnp.ones((256, 256), jnp.bfloat16); "
+    "assert float((x @ x).sum()) > 0"
+)
+
+
+def wait_for_healthy_device(max_wait_s: float = 900.0):
+    """The tunneled TPU platform occasionally wedges (trivial matmuls hang for
+    minutes, then it recovers on its own — CLAUDE.md lore). Probe with a tiny
+    matmul in a SUBPROCESS (a hung device call can't be timed out in-process)
+    and wait boundedly before starting the real measurement."""
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _PROBE], timeout=120.0,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                check=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() > deadline:
+                print(
+                    f"warning: device probe failing after {attempt} attempts; "
+                    "proceeding anyway",
+                    file=sys.stderr,
+                )
+                return
+            time.sleep(30.0)
+
 
 def main():
+    wait_for_healthy_device()
     import jax
     import jax.numpy as jnp
 

@@ -17,10 +17,15 @@ with the fused train/eval programs (make_fused_epoch/make_fused_eval take it
 unchanged), so context fine-tuning is the same one-program epoch as normal
 training.
 
-Typical use (benchmarks/fcn_finetune.py): fine-tune a patch-trained
-checkpoint for a few epochs with ``context=64`` (sampler patch_size 352),
-then serve with predict_full_fcn — the fcn map becomes the model's native
-output instead of an approximation.
+Production recipe: set ``model.context: 64`` in the training config — the
+trainer samples context windows around the SAME labeled patches
+(``make_sample_fn(context=...)``, labels keep the bare-patch intersection
+rule), edge-pads the disk test patches, and saves a plain base-model
+checkpoint — then serve with predict_full_fcn: the fcn map becomes the
+model's native output instead of an approximation
+(study: benchmarks/config_ctx64.yaml + benchmarks/README.md). A gentle
+fine-tune of an existing patch-trained checkpoint (benchmarks/fcn_finetune.py)
+closes the mode gap too, but costs absolute accuracy on small datasets.
 """
 
 from __future__ import annotations
