@@ -75,6 +75,52 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(single, multi, rtol=2e-4)
 
 
+@pytest.mark.slow  # ~55s of 16x96x96 conv compiles on the virtual mesh
+def test_sharded_context_train_step_matches_single_device():
+    """model.context DP parity: the ContextWindowModel train step over the
+    mesh must match single-device on the same context-window batches (the
+    context path shards bigger inputs and pools a feature sub-block — both
+    must be GSPMD-clean)."""
+    from deephisto_tpu.models.patch_cls_simple.context import ContextWindowModel
+    from deephisto_tpu.models.patch_cls_simple.model import get_model
+    from deephisto_tpu.models.patch_cls_simple.train import make_steps
+    from deephisto_tpu.parallel import make_mesh, replicated, shard_batch
+    from deephisto_tpu.train import create_train_state
+
+    ps, ctx, batch = 32, 32, 16
+    win = ps + 2 * ctx
+    model = get_model(5, depth=18, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, win, win, 3)))
+    ctx_model = ContextWindowModel(model, patch_size=ps, context=ctx)
+    rng = np.random.default_rng(1)
+    batches = [
+        (
+            rng.normal(size=(batch, win, win, 3)).astype(np.float32),
+            rng.integers(0, 5, size=(batch,)).astype(np.int32),
+        )
+        for _ in range(2)
+    ]
+
+    def run(mesh):
+        fresh = jax.tree.map(np.array, dict(variables))
+        state = create_train_state(ctx_model, fresh, learning_rate=1e-3)
+        step, _ = make_steps(ctx_model, mesh)
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+        losses = []
+        for x, y in batches:
+            xb, yb = jnp.asarray(x), jnp.asarray(y)
+            if mesh is not None:
+                xb, yb = shard_batch(xb, mesh), shard_batch(yb, mesh)
+            state, loss, _ = step(state, xb, yb)
+            losses.append(float(loss))
+        return losses
+
+    single = run(None)
+    multi = run(make_mesh())
+    np.testing.assert_allclose(single, multi, rtol=2e-4)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
