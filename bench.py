@@ -39,7 +39,7 @@ def wait_for_healthy_device(max_wait_s: float = 900.0):
     matmul in a SUBPROCESS (a hung device call can't be timed out in-process)
     and wait boundedly before starting the real measurement."""
     deadline = time.monotonic() + max_wait_s
-    attempt = 0
+    attempt = errors = 0
     while True:
         attempt += 1
         try:
@@ -49,15 +49,27 @@ def wait_for_healthy_device(max_wait_s: float = 900.0):
                 check=True,
             )
             return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if time.monotonic() > deadline:
+        except subprocess.TimeoutExpired:
+            pass  # the wedge signature — worth waiting out
+        except subprocess.CalledProcessError:
+            # a fast non-zero exit is deterministic breakage (import/init
+            # error), not a wedge: fail through to the real error quickly
+            errors += 1
+            if errors >= 3:
                 print(
-                    f"warning: device probe failing after {attempt} attempts; "
-                    "proceeding anyway",
+                    "warning: device probe exits non-zero (not a wedge); "
+                    "proceeding to surface the real error",
                     file=sys.stderr,
                 )
                 return
-            time.sleep(30.0)
+        if time.monotonic() + 150.0 > deadline:
+            print(
+                f"warning: device probe failing after {attempt} attempts; "
+                "proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        time.sleep(30.0)
 
 
 def main():

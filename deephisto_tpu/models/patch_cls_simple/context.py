@@ -43,8 +43,10 @@ class ContextWindowModel:
     ``patch_size`` and ``context`` must be multiples of 32."""
 
     def __init__(self, model, patch_size: int = 224, context: int = 64):
-        if patch_size % FEATURE_STRIDE or context % FEATURE_STRIDE:
-            raise ValueError("patch_size and context must be multiples of 32")
+        if patch_size % FEATURE_STRIDE or context % FEATURE_STRIDE or context < 0:
+            raise ValueError(
+                "patch_size and context must be non-negative multiples of 32"
+            )
         self._model = model
         self.patch_size = patch_size
         self.context = context

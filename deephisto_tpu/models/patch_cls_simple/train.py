@@ -288,6 +288,10 @@ def train(cfg, resume: bool = False, mesh=None):
     # the patch + its real surroundings, the head reads the center feature
     # block — so the trained features match predict_full_fcn's exactly.
     context = cfg["model"].get("context", 0)
+    if context < 0 or context % 32:
+        # validate before init_model sees patch_size + 2*context (a negative
+        # value would otherwise surface as an opaque broadcast error)
+        raise ValueError("model.context must be a non-negative multiple of 32")
     model = get_model(
         n_classes,
         depth=cfg["model"].get("depth", 18),
@@ -313,6 +317,17 @@ def train(cfg, resume: bool = False, mesh=None):
             model, patch_size=cfg["dataset"]["patch_size"], context=context
         )
         print(f"Context-consistent training: window = patch + 2*{context}")
+        if test_data is not None:
+            # disk test patches are bare patch_size crops; edge-replicate the
+            # surroundings ONCE (fcn serving's slide-border halo convention) —
+            # padding per batch per epoch would re-upload 2.5x the bytes
+            test_images, test_labels = test_data
+            test_images = np.pad(
+                test_images,
+                ((0, 0), (context, context), (context, context), (0, 0)),
+                mode="edge",
+            )
+            test_data = (test_images, test_labels)
     state = create_train_state(
         train_model,
         variables,
@@ -415,15 +430,6 @@ def train(cfg, resume: bool = False, mesh=None):
                     labs = np.concatenate([labs, np.repeat(labs[-1:], pad)])
                 else:
                     pad = 0
-                if context:
-                    # disk test patches are bare patch_size crops; give the
-                    # context model edge-replicated surroundings (the same
-                    # convention as fcn serving's slide-border halos)
-                    imgs = np.pad(
-                        imgs,
-                        ((0, 0), (context, context), (context, context), (0, 0)),
-                        mode="edge",
-                    )
                 x = jnp.asarray(imgs).astype(jnp.float32) / 255.0
                 y = jnp.asarray(labs)
                 if mesh is not None:

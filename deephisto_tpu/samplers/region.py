@@ -424,6 +424,8 @@ class AnnoRegionRndSampler:
             )
         if context and not gather:
             raise ValueError("context requires gather=True")
+        if context < 0:
+            raise ValueError("context must be non-negative")
         t = self.table
 
         def fn(key):

@@ -89,13 +89,21 @@ def test_cli_entry_points_argparse(cli_env):
             out_f,
         )
     deadline = time.monotonic() + 240
-    for m, (p, out_f) in procs.items():
-        rc = p.wait(timeout=max(1.0, deadline - time.monotonic()))
-        out_f.seek(0)
-        out = out_f.read()
-        out_f.close()
-        assert rc == 0, f"{m} --help failed:\n{out[-1500:]}"
-        assert "usage" in out.lower(), m
+    try:
+        for m, (p, out_f) in procs.items():
+            rc = p.wait(timeout=max(1.0, deadline - time.monotonic()))
+            out_f.seek(0)
+            out = out_f.read()
+            assert rc == 0, f"{m} --help failed:\n{out[-1500:]}"
+            assert "usage" in out.lower(), m
+    finally:
+        # a timeout/assert mid-loop must not leak live children (they'd
+        # compete for CPUs for the rest of the session) or open handles
+        for p, out_f in procs.values():
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+            out_f.close()
 
 
 @pytest.mark.slow
