@@ -42,6 +42,19 @@ def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None =
     )
     variables = load_weights(weights_path)
     img = load_image(image_path, cfg["dataset"]["patch_size"])
+    context = cfg["model"].get("context", 0)
+    if context:
+        # context-trained checkpoint (model.context): classify the patch the
+        # way it was trained — edge-replicated surroundings, center feature
+        # block (the trainer's disk-test convention)
+        from .context import ContextWindowModel
+
+        model = ContextWindowModel(
+            model, patch_size=cfg["dataset"]["patch_size"], context=context
+        )
+        img = np.pad(
+            img, ((context, context), (context, context), (0, 0)), mode="edge"
+        )
     x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0  # match training
     logits = model.apply(
         {"params": variables["params"],
