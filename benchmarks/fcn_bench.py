@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--slide", type=int, default=8192)
     ap.add_argument("--exact_rows", action="store_true",
                     help="also time the exact stride-112 path for comparison")
+    ap.add_argument("--staged", action="store_true",
+                    help="also time predicts on the s2d-staged slide "
+                    "(stage_for_fcn / stage_packed_slide, staged once "
+                    "outside the timed region; staging cost recorded)")
     args = ap.parse_args()
 
     out_path = Path(__file__).parent / f"fcn_bench_{jax.default_backend()}.jsonl"
@@ -81,7 +85,13 @@ def main():
         depth = 50 if name.startswith("r50") else 18
         model = get_model(5, depth=depth, stem="s2d")
         variables = init_model(model, pretrained=False)
-        if name.endswith("_int8"):
+        if name.endswith("_int8p"):
+            # space-to-depth-packed stage 1 (quantize.py pack_l1) — the
+            # fcn-shape conv fix; bit-identical outputs to _int8
+            model, variables = quantize_resnet(
+                model, variables, calib, pack_l1=True
+            )
+        elif name.endswith("_int8"):
             model, variables = quantize_resnet(model, variables, calib)
         elif name.endswith("_int8res"):
             # int8 residual carry (speed mode) — isolates whether the bf16
@@ -99,6 +109,22 @@ def main():
                 f"fcn_{name}_s2d", tile=tile, halo=args.halo,
                 tile_batch=args.tile_batch,
             )
+            if args.staged:
+                from deephisto_tpu.predict.fcn import stage_for_fcn
+
+                t0 = time.perf_counter()
+                staged = stage_for_fcn(image, tile=tile, halo=args.halo)
+                float(jnp.asarray(staged.packed).astype(jnp.float32).sum())
+                stage_s = time.perf_counter() - t0
+                timed(
+                    lambda: predict_full_fcn(
+                        staged, model, variables, n_classes=5, tile=tile,
+                        halo=args.halo, tile_batch=args.tile_batch,
+                    ),
+                    f"fcn_{name}_s2d_staged", tile=tile, halo=args.halo,
+                    tile_batch=args.tile_batch, stage_s=round(stage_s, 4),
+                )
+                del staged
         if args.exact_rows:
             timed(
                 lambda: predict_full_fused(
@@ -107,6 +133,22 @@ def main():
                 ),
                 f"exact_{name}_s2d", stride=112, batch=256,
             )
+            if args.staged:
+                from deephisto_tpu.predict.pipeline import stage_packed_slide
+
+                t0 = time.perf_counter()
+                pslide = stage_packed_slide(image, keep_raw=False)
+                float(jnp.asarray(pslide.packed).astype(jnp.float32).sum())
+                stage_s = time.perf_counter() - t0
+                timed(
+                    lambda: predict_full_fused(
+                        pslide, model, variables, n_classes=5, patch_size=224,
+                        stride=112, batch_size=256,
+                    ),
+                    f"exact_{name}_s2d_staged", stride=112, batch=256,
+                    stage_s=round(stage_s, 4),
+                )
+                del pslide
         del variables
 
     with out_path.open("a") as f:

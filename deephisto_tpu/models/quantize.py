@@ -165,6 +165,107 @@ def _conv(x, w, stride, padding="SAME"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth-packed stage 1 ("pack_l1") — the fcn-shape conv fix
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (benchmarks/fcn_l1_sweep_tpu.jsonl): XLA's conv rate for the
+# 64-channel stage-1 3x3 collapses at large spatial extents — 41.8 TFLOP/s at
+# the fcn tile shape (8, 288, 288, 64) vs 108.9 at the patch shape
+# (256, 56, 56, 64) — while a 2x2 conv on 2x-space-to-depth data (256
+# channels) sustains 150 TFLOP/s at the same pixel count. A 3x3 stride-1 conv
+# is EXACTLY expressible on 2x-packed data as a 2x2 conv whose dense
+# (2, 2, 4ci, 4co) kernel embeds the 3x3 taps with structured zeros (9/16
+# density → 1.78x the MACs at ~3.6x the rate ⇒ ~2x net). Packing uses two
+# alternating alignments, so consecutive convs need NO repacking and residual
+# adds stay packed:
+#
+#   pack_A: packed row i holds original rows {2i-1, 2i}  (spatial n/2 + 1)
+#   pack_B: packed row i holds original rows {2i, 2i+1}  (spatial n/2)
+#
+# conv3x3(A→B) and conv3x3(B→A) are both 2x2 embedded convs; a stride-2
+# 3x3 (the stage-2 entry) maps A→unpacked at the stride-2 grid, so the whole
+# stage-1 + stage-2-entry chain runs packed with one pack transpose total.
+# Channel layout: packed channel = (si*2 + sj)*c + c_orig, where (si, sj) is
+# the pixel's position in its 2x2 block (matches _pack_a's reshape).
+#
+# For the int8 trunk the packed chain is BIT-EXACT vs the unpacked one
+# (integer conv accumulation is order-independent; epilogues are elementwise
+# and identical) — tests/test_quantize.py asserts exact equality. Boundary
+# semantics: pack_A carries one out-of-range row/col (orig -1 and n); after
+# each A-producing conv those lanes are re-zeroed (_fixup_a) so every tap
+# reads exactly the zeros SAME padding would.
+
+
+def _pack_a(x):
+    """(b, h, w, c) → pack_A (b, h//2+1, w//2+1, 4c); h, w must be even."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h // 2 + 1, w // 2 + 1
+    x = x.reshape(b, hp, 2, wp, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, 4 * c)
+
+
+def _edge_masks_a(hp, wp, c, dtype):
+    """Broadcastable (hp, 1, 4c) x (1, wp, 4c) masks zeroing a pack_A
+    tensor's out-of-range lanes (orig row/col -1 and n). Multiplying by both
+    fuses into whatever elementwise epilogue produces the tensor — measured
+    cost ~0 (a .at[] row update materializes a full-tensor copy instead)."""
+    import numpy as np
+
+    ch = np.arange(4 * c)
+    si, sj = ch // (2 * c), (ch // c) % 2
+    row = np.ones((hp, 1, 4 * c), np.float32)
+    row[0, 0, si == 0] = 0.0
+    row[-1, 0, si == 1] = 0.0
+    col = np.ones((1, wp, 4 * c), np.float32)
+    col[0, 0, sj == 0] = 0.0
+    col[0, -1, sj == 1] = 0.0
+    return jnp.asarray(row, dtype), jnp.asarray(col, dtype)
+
+
+def _embed_kernel(k, kind):
+    """Embed a 3x3 (ci, co) kernel into the packed 2x2 dense kernel.
+
+    kind: "a2b" (pack_A in → pack_B out), "b2a" (pack_B in, conv pad (1,1) →
+    pack_A out), "a2x" (pack_A in → stride-2 unpacked out, the stage-2 entry
+    3x3), "a2x_1x1" (pack_A in, cropped to n/2 → stride-2 unpacked 1x1, the
+    downsample conv). Pure relocation + zero fill — exact in any dtype."""
+    kh, kw, ci, co = k.shape
+    pack_out = kind in ("a2b", "b2a")
+    if kind == "a2x_1x1":
+        K = jnp.zeros((1, 1, 4 * ci, co), k.dtype)
+        # orig (2i, 2j) is sub-position (1, 1) of pack_A cell (i, j)
+        return K.at[0, 0, 3 * ci : 4 * ci, :].set(k[0, 0])
+    K = jnp.zeros((2, 2, 4 * ci, (4 if pack_out else 1) * co), k.dtype)
+    for kr in range(2):
+        for kc in range(2):
+            for si in range(2):
+                for sj in range(2):
+                    for di in range(2 if pack_out else 1):
+                        for dj in range(2 if pack_out else 1):
+                            if kind == "a2b":
+                                dy = 2 * kr + si - 1 - di
+                                dx = 2 * kc + sj - 1 - dj
+                            elif kind == "b2a":
+                                dy = 2 * (kr - 1) + si + 1 - di
+                                dx = 2 * (kc - 1) + sj + 1 - dj
+                            else:  # a2x: out orig row 2i, no sub-position
+                                dy = 2 * kr + si - 1
+                                dx = 2 * kc + sj - 1
+                            if abs(dy) <= 1 and abs(dx) <= 1:
+                                K = K.at[
+                                    kr, kc,
+                                    (si * 2 + sj) * ci : (si * 2 + sj + 1) * ci,
+                                    (di * 2 + dj) * co : (di * 2 + dj + 1) * co,
+                                ].set(k[dy + 1, dx + 1])
+    return K
+
+
+_PACK_PAD = {"a2b": [(0, 0), (0, 0)], "b2a": [(1, 1), (1, 1)],
+             "a2x": [(0, 0), (0, 0)], "a2x_1x1": [(0, 0), (0, 0)]}
+
+
 def folded_float_apply(model, variables, x):
     """Float forward on the BN-folded weights (the numerical reference the
     int8 path approximates; also the BN-folding exactness oracle)."""
@@ -255,23 +356,51 @@ class QuantizedResNet:
 
     wants_uint8 = True
 
-    def __init__(self, model, int8_residual: bool = False):
+    def __init__(self, model, int8_residual: bool = False, pack_l1: bool = False):
         self._model = model  # topology source (stem/stage_sizes/block_cls)
         self.int8_residual = int8_residual
+        self.pack_l1 = pack_l1
+        if pack_l1:
+            from .resnet import BasicBlock
+
+            basic = model.block_cls is BasicBlock or getattr(
+                model.block_cls, "func", None
+            ) is BasicBlock
+            if not basic or len(model.stage_sizes) < 2:
+                raise ValueError(
+                    "pack_l1 requires a BasicBlock ResNet with >=2 stages "
+                    "(the packed chain exits through the stage-2 entry convs)"
+                )
 
     # hashability: fcn's program cache keys on the model object
     def __hash__(self):
-        return hash((type(self).__name__, self._model, self.int8_residual))
+        return hash(
+            (type(self).__name__, self._model, self.int8_residual, self.pack_l1)
+        )
 
     def __eq__(self, other):
         return (
             type(other) is type(self)
             and other._model == self._model
             and other.int8_residual == self.int8_residual
+            and other.pack_l1 == self.pack_l1
         )
 
-    def apply(self, variables, x, train: bool = False, features: bool = False):
+    @property
+    def stem(self):
+        return self._model.stem
+
+    def apply(
+        self,
+        variables,
+        x,
+        train: bool = False,
+        features: bool = False,
+        pre_packed: bool = False,
+    ):
         assert not train, "QuantizedResNet is inference-only"
+        if pre_packed and self._model.stem != "s2d":
+            raise ValueError("pre_packed input requires the s2d stem")
         q = variables["params"]
         model = self._model
         basic, blocks = _conv_layers(model)
@@ -320,9 +449,12 @@ class QuantizedResNet:
         # ---- stem (resnet.py:99-112), int8 convs ---------------------------
         first_block_in = f"{blocks[0][0]}/conv1"
         if model.stem == "s2d":
-            b, h, w, c = x8.shape
-            x8 = x8.reshape(b, h // 4, 4, w // 4, 4, c)
-            x8 = x8.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
+            if not pre_packed:
+                b, h, w, c = x8.shape
+                x8 = x8.reshape(b, h // 4, 4, w // 4, 4, c)
+                x8 = x8.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, h // 4, w // 4, 16 * c
+                )
             stem_stride, stem_pad = 1, "SAME"
         else:
             stem_stride, stem_pad = 2, [(3, 3), (3, 3)]
@@ -338,9 +470,95 @@ class QuantizedResNet:
             x_bf = x_bf.astype(jnp.bfloat16)
             x8 = quant_to(first_block_in, x_bf)
 
+        # ---- packed stage 1 + stage-2 entry (pack_l1 mode) ------------------
+        start = 0
+        if self.pack_l1:
+            n1 = model.stage_sizes[0]
+            c1 = q["layer1_0/conv1"]["kernel_q"].shape[-1]
+            if x8.shape[1] % 2 or x8.shape[2] % 2:
+                raise ValueError(
+                    f"pack_l1 needs an even stage-1 spatial extent, got "
+                    f"{x8.shape[1:3]} (input height/width must be multiples "
+                    "of 8)"
+                )
+
+            def pconv_s32(name, xp, kind):
+                K = _embed_kernel(q[name]["kernel_q"], kind)
+                return jax.lax.conv_general_dilated(
+                    xp, K, (1, 1), _PACK_PAD[kind],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+
+            def ptile(v, kind):
+                return jnp.tile(v, 4) if kind in ("a2b", "b2a") else v
+
+            def pconv_f32(name, xp, kind):
+                layer = q[name]
+                y = pconv_s32(name, xp, kind).astype(jnp.float32)
+                return y * ptile(layer["dequant"], kind) + ptile(
+                    layer["bias"], kind
+                )
+
+            def pconv_to_int8(name, next_name, xp, kind):
+                layer = q[name]
+                inv = q[next_name]["in_inv_scale"]
+                y = pconv_s32(name, xp, kind).astype(jnp.float32)
+                y = y * (ptile(layer["dequant"], kind) * inv) + ptile(
+                    layer["bias"], kind
+                ) * inv
+                return jnp.clip(
+                    jnp.round(jax.nn.relu(y)), -127, 127
+                ).astype(jnp.int8)
+
+            if self.int8_residual:
+                x8p, x_bfp = _pack_a(x8), None
+            else:
+                # pack ONCE (bf16); the packed int8 is the same elementwise
+                # quantization applied after the transpose (zeros stay zero)
+                x_bfp = _pack_a(x_bf)
+                x8p = quant_to(first_block_in, x_bfp)
+            row_m, col_m = _edge_masks_a(
+                x8p.shape[1], x8p.shape[2], c1, jnp.float32
+            )
+            for j in range(n1):
+                name = f"layer1_{j}"
+                h8 = pconv_to_int8(f"{name}/conv1", f"{name}/conv2", x8p, "a2b")
+                y_f = pconv_f32(f"{name}/conv2", h8, "b2a")
+                if self.int8_residual:
+                    s_in = 1.0 / q[f"{name}/conv1"]["in_inv_scale"]
+                    res_f = x8p.astype(jnp.float32) * s_in
+                else:
+                    res_f = x_bfp.astype(jnp.float32)
+                # edge re-zeroing rides the relu epilogue (broadcast masks)
+                out_p = jax.nn.relu(y_f + res_f) * row_m * col_m
+                nxt = (f"layer1_{j + 1}" if j + 1 < n1 else blocks[n1][0]) + "/conv1"
+                if self.int8_residual:
+                    x8p = quant_to(nxt, out_p)
+                else:
+                    x_bfp = out_p.astype(jnp.bfloat16)
+                    x8p = quant_to(nxt, x_bfp)
+
+            # stage-2 entry: conv1/downsample consume the packed tensor and
+            # exit to the unpacked stride-2 grid; conv2 onward is standard
+            name2, _s2 = blocks[n1]
+            h8 = pconv_to_int8(f"{name2}/conv1", f"{name2}/conv2", x8p, "a2x")
+            y_f = conv_f32(f"{name2}/conv2", h8, stride=1)
+            res_f = pconv_f32(
+                f"{name2}/downsample_conv", x8p[:, :-1, :-1], "a2x_1x1"
+            )
+            out_f = jax.nn.relu(y_f + res_f)
+            if not self.int8_residual:
+                x_bf = out_f.astype(jnp.bfloat16)
+            if n1 + 1 < len(blocks):
+                nxt = f"{blocks[n1 + 1][0]}/conv1"
+                x8 = quant_to(nxt, out_f if self.int8_residual else x_bf)
+            start = n1 + 1
+
         # ---- residual stages -----------------------------------------------
-        out_f = None
-        for bi, (name, stride) in enumerate(blocks):
+        if start == 0:
+            out_f = None
+        for bi, (name, stride) in list(enumerate(blocks))[start:]:
             s_in = 1.0 / q[f"{name}/conv1"]["in_inv_scale"]
             if basic:
                 h8 = conv_to_int8(f"{name}/conv1", f"{name}/conv2", x8, stride)
@@ -370,13 +588,22 @@ class QuantizedResNet:
         return f @ q["fc"]["kernel"] + q["fc"]["bias"]
 
 
-def quantize_resnet(model, variables, calib_batches, int8_residual: bool = False):
+def quantize_resnet(
+    model,
+    variables,
+    calib_batches,
+    int8_residual: bool = False,
+    pack_l1: bool = False,
+):
     """Post-training-quantize a trained float ResNet.
 
     model/variables: from ``get_model``/``init_model`` (or a restored
     checkpoint); calib_batches: iterable of (B, H, W, 3) float arrays in
     [0, 1] (a handful of training batches is plenty). ``int8_residual``
     selects the residual-stream precision (QuantizedResNet docstring).
+    ``pack_l1`` runs stage 1 space-to-depth-packed — bit-identical outputs,
+    ~2x the stage-1 conv rate at fcn tile extents (use for the fcn serving
+    mode; at patch extents the unpacked convs are already fast).
 
     Returns ``(qmodel, qvariables)`` — drop-in for every fused pipeline:
     ``predict_full_fused(img, qmodel, qvariables, ...)``."""
@@ -399,4 +626,7 @@ def quantize_resnet(model, variables, calib_batches, int8_residual: bool = False
             "bias": b,
             "in_inv_scale": jnp.float32(1.0 / s_x),
         }
-    return QuantizedResNet(model, int8_residual=int8_residual), {"params": qparams}
+    return (
+        QuantizedResNet(model, int8_residual=int8_residual, pack_l1=pack_l1),
+        {"params": qparams},
+    )

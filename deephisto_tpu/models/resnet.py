@@ -85,11 +85,25 @@ class ResNet(nn.Module):
     stem: str = "imagenet"
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        features: bool = False,
+        pre_packed: bool = False,
+    ):
         """features=True returns the pre-GAP stride-32 feature map (NHWC) —
         the fully-convolutional surface behind predict/fcn.py's overlap-free
         whole-slide mode. Initialize with features=False so the fc params
-        exist; apply with features=True ignores them."""
+        exist; apply with features=True ignores them.
+
+        pre_packed=True (s2d stem only): ``x`` is already the 4x4
+        space-to-depth representation, (B, H/4, W/4, 48). The predict
+        pipelines pack the slide ONCE and gather patches/tiles in packed
+        space — the per-batch s2d transpose on freshly-sliced uint8 runs at
+        ~7.5 GB/s on v5e (a slow byte-granular relayout) vs ~free at the
+        slide level (benchmarks/fcn_probe3.py). Identical values either way
+        (packing commutes with slicing)."""
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         norm = partial(
             nn.BatchNorm,
@@ -99,11 +113,14 @@ class ResNet(nn.Module):
             dtype=self.dtype,
         )
 
+        if pre_packed and self.stem != "s2d":
+            raise ValueError("pre_packed input requires the s2d stem")
         x = x.astype(self.dtype)
         if self.stem == "s2d":
-            b, h, w, c = x.shape
-            x = x.reshape(b, h // 4, 4, w // 4, 4, c)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
+            if not pre_packed:
+                b, h, w, c = x.shape
+                x = x.reshape(b, h // 4, 4, w // 4, 4, c)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 16 * c)
             x = conv(self.num_filters, (2, 2), (1, 1), name="conv1")(x)
             x = norm(name="bn1")(x)
             x = nn.relu(x)

@@ -109,19 +109,75 @@ def _window_ensemble(wlog, wf: int, up: int, ky: int, kx: int, mh: int, mw: int)
     return jnp.argmax(score, axis=-1), score
 
 
-def _backbone_features(model, variables, x):
+def _backbone_features(model, variables, x, pre_packed=False):
     return model.apply(
         {"params": variables["params"],
          "batch_stats": variables.get("batch_stats", {})},
         x,
         train=False,
         features=True,
+        pre_packed=pre_packed,
     )
+
+
+@jax.jit
+def s2d_pack_image(image):
+    """(H, W, C) → the 4x4 space-to-depth packing (H/4, W/4, 16C), matching
+    the s2d stem's per-batch transform (resnet.py:104-106) so models can be
+    applied with ``pre_packed=True``.
+
+    Why slide-level: the same transpose on a freshly dynamic-sliced uint8
+    tile runs at ~7.5 GB/s on v5e (byte-granular relayout of a strided
+    buffer, ~4.3 ms per fcn scan step — benchmarks/fcn_probe3.py) while a
+    STAGED packed slide is a program parameter whose layout XLA assigns, so
+    every downstream slice/gather is cheap. The pack itself pays the same
+    slow relayout once per slide (~30 ms on an 8192² slide through v5e) —
+    that is a STAGING cost (do it when the slide is uploaded, where it hides
+    behind ingest I/O), not a per-predict cost. Packing commutes with
+    slicing, so results are bit-identical."""
+    h, w, c = image.shape
+    x = image.reshape(h // 4, 4, w // 4, 4, c)
+    return x.transpose(0, 2, 1, 3, 4).reshape(h // 4, w // 4, 16 * c)
+
+
+class FcnStagedSlide:
+    """A slide staged for repeated fcn prediction: edge-padded to the
+    (tile, halo) grid and 4x4 space-to-depth packed, device-resident uint8.
+
+    Build once per slide via :func:`stage_for_fcn` (the pack is a staging
+    cost, like the HBM upload itself); pass to :func:`predict_full_fcn` in
+    place of the raw image. Results are bit-identical to the raw-image call
+    — the packed program just skips the per-tile relayout transpose that
+    costs ~4.3 ms per scan step on v5e (s2d_pack_image docstring)."""
+
+    __slots__ = ("packed", "h", "w", "tile", "halo")
+
+    def __init__(self, packed, h, w, tile, halo):
+        self.packed = packed
+        self.h, self.w = h, w
+        self.tile, self.halo = tile, halo
+
+
+def stage_for_fcn(image, tile: int = 1024, halo: int = 64) -> FcnStagedSlide:
+    """Stage a slide for s2d-stem fcn serving (FcnStagedSlide docstring).
+
+    image: (H, W, C) uint8 (host or device). tile/halo must match the
+    predict_full_fcn call (they fix the padded grid)."""
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    ty, tx = -(-h // tile), -(-w // tile)
+    padded = jnp.pad(
+        image,
+        ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+        mode="edge",
+    )
+    return FcnStagedSlide(s2d_pack_image(padded), h, w, tile, halo)
 
 
 @functools.lru_cache(maxsize=32)
 def _make_fcn_program(
-    model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch=1
+    model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch=1,
+    pre_packed=False,
 ):
     """Build (and cache) the jitted whole-slide fcn program for concrete
     sizes. ``model`` must be hashable (flax Modules are frozen dataclasses;
@@ -156,18 +212,23 @@ def _make_fcn_program(
         # dynamic updates); the slide feature map is then a pure
         # reshape/transpose of the stacked tiles
         hh = halo // fs
+        # pre_packed: ``padded`` is the 4x4 s2d representation of the slide
+        # (s2d_pack_image) and tiles are sliced in packed units — the tile
+        # values are identical, without the per-step relayout transpose
+        pk = 4 if pre_packed else 1
 
         def tile_step(_, idxs):
             def slice_one(t):
                 return jax.lax.dynamic_slice(
                     padded,
-                    ((t // tx) * tile, (t % tx) * tile, 0),
-                    (tile + 2 * halo, tile + 2 * halo, 3),
+                    ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
+                    ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
+                     padded.shape[-1]),
                 )
 
-            xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8
+            xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8 [packed]
             xin = model_input(model, xin)
-            f = _backbone_features(model, variables, xin)
+            f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
             return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
 
         # channel count from the fc kernel (works for float and int8 variables)
@@ -229,8 +290,22 @@ def predict_full_fcn(
         raise ValueError(f"downscale must divide {FEATURE_STRIDE}")
     if tile % FEATURE_STRIDE or halo % FEATURE_STRIDE:
         raise ValueError(f"tile and halo must be multiples of {FEATURE_STRIDE}")
-    image = jnp.asarray(image)
-    h, w = int(image.shape[0]), int(image.shape[1])
+    staged = isinstance(image, FcnStagedSlide)
+    if staged:
+        if getattr(model, "stem", None) != "s2d":
+            raise ValueError(
+                "FcnStagedSlide is the s2d-packed representation; the model "
+                f"has stem={getattr(model, 'stem', None)!r}"
+            )
+        if (image.tile, image.halo) != (tile, halo):
+            raise ValueError(
+                f"slide was staged for tile={image.tile}, halo={image.halo}; "
+                f"this call asked for tile={tile}, halo={halo}"
+            )
+        h, w = image.h, image.w
+    else:
+        image = jnp.asarray(image)
+        h, w = int(image.shape[0]), int(image.shape[1])
     if h < patch_size or w < patch_size:
         raise ValueError(
             f"layer size {(h, w)} is smaller than patch_size {patch_size}"
@@ -245,13 +320,17 @@ def predict_full_fcn(
     # replicated tissue keeps border-tile features in-distribution. The exact
     # patch path never reads beyond-slide pixels, so this only affects the
     # synthetic halo ring.
-    padded = jnp.pad(
-        image,
-        ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
-        mode="edge",
-    )
+    if staged:
+        padded = image.packed
+    else:
+        padded = jnp.pad(
+            image,
+            ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
+            mode="edge",
+        )
     program = _make_fcn_program(
-        model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch
+        model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch,
+        pre_packed=staged,
     )
     argmax_map, score = program(padded, variables)
     return np.asarray(argmax_map), score

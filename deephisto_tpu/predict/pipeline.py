@@ -42,6 +42,45 @@ def model_input(model, patches_u8: jnp.ndarray) -> jnp.ndarray:
     return patches_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
 
 
+class PackedSlide:
+    """A slide staged for repeated s2d-stem dense prediction: rounded up to a
+    multiple of 4 (edge pad) and 4x4 space-to-depth packed, device-resident
+    uint8. Build once per slide via :func:`stage_packed_slide`; pass to
+    :func:`predict_full_fused` in place of the raw image (bit-identical
+    results — patches are gathered in packed space, skipping the per-batch
+    relayout transpose that costs ~4 ms/batch on v5e; predict/fcn.py
+    s2d_pack_image for the measurement story). The packed gather needs
+    4-aligned patch_size and coords (the default 224/112 grid on a
+    4-aligned slide qualifies; the reference cover rule's last-row/col
+    coords are 4-aligned iff (h - patch_size) % 4 == 0) — misaligned grids
+    fall back to the retained raw image."""
+
+    __slots__ = ("packed", "h", "w", "raw")
+
+    def __init__(self, packed, h, w, raw=None):
+        self.packed = packed
+        self.h, self.w = h, w
+        self.raw = raw
+
+
+def stage_packed_slide(image, keep_raw: bool = True) -> PackedSlide:
+    """Stage a slide for s2d-stem dense prediction (PackedSlide docstring).
+
+    keep_raw retains the raw device image alongside the packed one (~2x the
+    slide's HBM footprint) so misaligned prediction grids can fall back;
+    keep_raw=False drops it, and misaligned grids raise."""
+    from .fcn import s2d_pack_image
+
+    image = jnp.asarray(image)
+    h, w = int(image.shape[0]), int(image.shape[1])
+    padded = image
+    if h % 4 or w % 4:
+        padded = jnp.pad(image, ((0, -h % 4), (0, -w % 4), (0, 0)), mode="edge")
+    return PackedSlide(
+        s2d_pack_image(padded), h, w, raw=image if keep_raw else None
+    )
+
+
 def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
     """The dense tiling coord list (grid + last col/row + corner — same cover
     rule as FullImageDenseSampler / reference full_samplers.py:374-397)."""
@@ -62,6 +101,7 @@ def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "model", "patch_size", "downscale", "n_classes", "softmax", "mesh",
+        "packed", "hw",
     ),
 )
 def _predict_scan(
@@ -75,10 +115,13 @@ def _predict_scan(
     n_classes: int,
     softmax: bool,
     mesh=None,
+    packed: bool = False,
+    hw: tuple | None = None,
 ):
     d = downscale
-    dh = image.shape[0] // d
-    dw = image.shape[1] // d
+    h0, w0 = hw if hw is not None else (image.shape[0], image.shape[1])
+    dh = h0 // d
+    dw = w0 // d
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -96,13 +139,21 @@ def _predict_scan(
             # run data-parallel; the scatter-add into the replicated map gets
             # its all-reduce from GSPMD (the spatial-parallel inference story)
             coords = jax.lax.with_sharding_constraint(coords, data_sh)
-        patches = gather_patches_xla(image, coords, patch_size)
+        # packed: gather in the slide's 4x4 space-to-depth representation
+        # (identical values; the per-batch s2d transpose on gathered uint8
+        # patches costs ~4 ms/step on v5e — predict/fcn.py s2d_pack_image)
+        patches = gather_patches_xla(
+            image,
+            coords // 4 if packed else coords,
+            patch_size // 4 if packed else patch_size,
+        )
         x = model_input(model, patches)
         logits = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})},
             x,
             train=False,
+            **({"pre_packed": True} if packed else {}),
         )
         if softmax:
             logits = jax.nn.softmax(logits, axis=-1)
@@ -241,9 +292,26 @@ def predict_full_fused(
     zero-weighted lanes, so every real tile contributes exactly once (matches
     the reference's scatter-add exactness, predict_full_patched.py:49-54).
     """
-    image = jnp.asarray(image)
-    h, w = int(image.shape[0]), int(image.shape[1])
+    packed = isinstance(image, PackedSlide)
+    if packed:
+        if getattr(model, "stem", None) != "s2d":
+            raise ValueError(
+                "PackedSlide is the s2d-packed representation; the model "
+                f"has stem={getattr(model, 'stem', None)!r}"
+            )
+        h, w = image.h, image.w
+    else:
+        image = jnp.asarray(image)
+        h, w = int(image.shape[0]), int(image.shape[1])
     coords = dense_coords(h, w, patch_size, stride)
+    if packed and (patch_size % 4 or (coords % 4).any()):
+        if image.raw is None:
+            raise ValueError(
+                "PackedSlide prediction needs 4-aligned patch_size and "
+                f"coords (patch_size={patch_size}, stride={stride}); stage "
+                "with keep_raw=True or pass the raw image for arbitrary grids"
+            )
+        image, packed = image.raw, False  # silent raw-path fallback
     n = len(coords)
     n_b = -(-n // batch_size)
     pad = n_b * batch_size - n
@@ -254,7 +322,7 @@ def predict_full_fused(
     coords_batched = jnp.asarray(coords.reshape(n_b, batch_size, 2))
     valid_batched = jnp.asarray(valid.reshape(n_b, batch_size))
     argmax_map, score_map = _predict_scan(
-        image,
+        image.packed if packed else image,
         coords_batched,
         valid_batched,
         variables,
@@ -264,5 +332,7 @@ def predict_full_fused(
         n_classes,
         softmax,
         mesh,
+        packed,
+        (h, w),
     )
     return np.asarray(argmax_map), score_map

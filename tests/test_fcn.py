@@ -319,7 +319,80 @@ def test_context_finetune_one_epoch_runs(small_model):
         labels = jax.random.randint(k2, (4,), 0, 5)
         return patches.astype(jnp.uint8), labels, None, None
 
-    state = create_train_state(ctx, variables, 1e-3)
+    # the fused epoch DONATES the train state (train.py:133); copy the
+    # module-scoped fixture's buffers or every later test sees deleted arrays
+    state = create_train_state(ctx, jax.tree.map(jnp.array, variables), 1e-3)
     epoch = make_fused_epoch(ctx, sample_fn, 4, 2)
     state2, losses, corrects = epoch(state, jax.random.key(0))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_staged_slide_matches_raw_image(small_model, image):
+    """stage_for_fcn + predict on the packed representation is bit-identical
+    to the raw-image call (packing commutes with slicing; the staged path
+    just skips the per-tile relayout — predict/fcn.py s2d_pack_image)."""
+    from deephisto_tpu.predict.fcn import stage_for_fcn
+
+    model, variables = small_model
+    am_raw, sc_raw = predict_full_fcn(
+        image, model, variables, n_classes=5, patch_size=PS, downscale=D,
+        tile=128, halo=32,
+    )
+    staged = stage_for_fcn(image, tile=128, halo=32)
+    am_st, sc_st = predict_full_fcn(
+        staged, model, variables, n_classes=5, patch_size=PS, downscale=D,
+        tile=128, halo=32,
+    )
+    np.testing.assert_array_equal(am_raw, am_st)
+    np.testing.assert_array_equal(np.asarray(sc_raw), np.asarray(sc_st))
+
+
+def test_staged_slide_validates_grid_and_stem(small_model, image):
+    from deephisto_tpu.predict.fcn import stage_for_fcn
+
+    model, variables = small_model
+    staged = stage_for_fcn(image, tile=128, halo=32)
+    with pytest.raises(ValueError, match="staged for tile"):
+        predict_full_fcn(
+            staged, model, variables, n_classes=5, patch_size=PS,
+            downscale=D, tile=128, halo=64,
+        )
+    imagenet = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=BasicBlock, num_classes=5,
+        num_filters=8, stem="imagenet",
+    )
+    ivars = imagenet.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    with pytest.raises(ValueError, match="s2d"):
+        predict_full_fcn(
+            staged, imagenet, ivars, n_classes=5, patch_size=PS,
+            downscale=D, tile=128, halo=32,
+        )
+
+
+def test_packed_slide_exact_path_matches_raw(small_model, image):
+    """stage_packed_slide + predict_full_fused == raw-image predict, bit for
+    bit (patches gathered in s2d space are the same bytes). The fixture's
+    W=130 grid is 4-misaligned, exercising the retained-raw fallback; the
+    cropped W=128 image exercises the true packed gather."""
+    from deephisto_tpu.predict.pipeline import stage_packed_slide
+
+    model, variables = small_model
+    for img in (image, image[:, :128]):
+        am_raw, sc_raw = predict_full_fused(
+            img, model, variables, n_classes=5, patch_size=PS, stride=32,
+            batch_size=16, downscale=D,
+        )
+        packed = stage_packed_slide(img)
+        am_p, sc_p = predict_full_fused(
+            packed, model, variables, n_classes=5, patch_size=PS, stride=32,
+            batch_size=16, downscale=D,
+        )
+        np.testing.assert_array_equal(am_raw, am_p)
+        np.testing.assert_array_equal(np.asarray(sc_raw), np.asarray(sc_p))
+    # misaligned grid with keep_raw=False has nothing to fall back to
+    packed = stage_packed_slide(image, keep_raw=False)
+    with pytest.raises(ValueError, match="4-aligned"):
+        predict_full_fused(
+            packed, model, variables, n_classes=5, patch_size=PS, stride=32,
+            batch_size=16, downscale=D,
+        )

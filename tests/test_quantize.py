@@ -174,3 +174,70 @@ def test_quantized_fcn_mode(batch):
     assert am_q.shape == am_f.shape == (10, 8)
     agree = (am_q == am_f).mean()
     assert agree > 0.7, agree
+
+
+def test_pack_l1_bit_exact(batch):
+    """Space-to-depth-packed stage 1 (quantize.py pack_l1 — the fcn-shape
+    conv-rate fix, benchmarks/fcn_l1_sweep_tpu.jsonl) is BIT-exact vs the
+    unpacked trunk: integer conv accumulation is order-independent and every
+    epilogue is elementwise-identical, so logits AND the stride-32 feature
+    map must match exactly, boundary rings included (_fixup_a restores the
+    SAME-padding zeros the packed chain would otherwise lose)."""
+    from deephisto_tpu.models.quantize import QuantizedResNet
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    u8 = (np.random.default_rng(7).random((2, 96, 96, 3)) * 255).astype(np.uint8)
+    for int8_residual in (False, True):
+        plain = QuantizedResNet(qmodel._model, int8_residual=int8_residual)
+        packed = QuantizedResNet(
+            qmodel._model, int8_residual=int8_residual, pack_l1=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.apply(qvars, jnp.asarray(u8))),
+            np.asarray(packed.apply(qvars, jnp.asarray(u8))),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(
+                plain.apply(qvars, jnp.asarray(u8), features=True), np.float32
+            ),
+            np.asarray(
+                packed.apply(qvars, jnp.asarray(u8), features=True), np.float32
+            ),
+        )
+
+
+def test_pack_l1_through_fcn_predict(batch):
+    """quantize_resnet(pack_l1=True) is a drop-in for predict_full_fcn and
+    produces the identical class map (the packed program is the production
+    fcn serving configuration)."""
+    from deephisto_tpu.predict import predict_full_fcn
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+    pmodel, pvars = quantize_resnet(model, variables, [batch], pack_l1=True)
+
+    img = (np.random.default_rng(5).random((160, 128, 3)) * 255).astype(np.uint8)
+    am_q, sc_q = predict_full_fcn(
+        img, qmodel, qvars, n_classes=5, patch_size=64, downscale=16,
+        tile=192, halo=32,
+    )
+    am_p, sc_p = predict_full_fcn(
+        img, pmodel, pvars, n_classes=5, patch_size=64, downscale=16,
+        tile=192, halo=32,
+    )
+    np.testing.assert_array_equal(am_q, am_p)
+    np.testing.assert_array_equal(np.asarray(sc_q), np.asarray(sc_p))
+
+
+def test_pack_l1_rejects_bottleneck():
+    """pack_l1 exits through the stage-2 entry convs of a BasicBlock net;
+    Bottleneck topologies must be rejected loudly, not silently mis-run."""
+    from deephisto_tpu.models.quantize import QuantizedResNet
+
+    model = get_model(5, depth=50, stem="s2d")
+    with pytest.raises(ValueError, match="pack_l1"):
+        QuantizedResNet(model, pack_l1=True)
