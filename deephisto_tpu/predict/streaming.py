@@ -186,7 +186,8 @@ def predict_full_streamed(
 
 @functools.lru_cache(maxsize=16)
 def _make_fcn_stripe_program(
-    model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch
+    model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch,
+    pre_packed=False,
 ):
     """One compiled program per stripe shape: stage-1 tile-batched backbone
     features for the stripe's ``own`` pixel rows (+``halo`` context staged on
@@ -211,17 +212,23 @@ def _make_fcn_stripe_program(
     def program(stripe_img, tail, variables):
         hh = halo // fs
 
+        # pre_packed: stripes arrive host-packed in 4x4 s2d form (the pack
+        # rides the staging thread, hiding behind upload I/O) and tiles are
+        # sliced in packed units — fcn.py s2d_pack_image for the rationale
+        pk = 4 if pre_packed else 1
+
         def tile_step(_, idxs):
             def slice_one(t):
                 return jax.lax.dynamic_slice(
                     stripe_img,
-                    ((t // tx) * tile, (t % tx) * tile, 0),
-                    (tile + 2 * halo, tile + 2 * halo, 3),
+                    ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
+                    ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
+                     stripe_img.shape[-1]),
                 )
 
             xin = jax.vmap(slice_one)(idxs)
             xin = model_input(model, xin)
-            f = _backbone_features(model, variables, xin)
+            f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
             return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
 
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
@@ -321,10 +328,14 @@ def predict_full_fcn_streamed(
     kx = (w - patch_size) // fs + 1
     mh, mw = h // downscale, w // downscale
 
+    pre_packed = getattr(model, "stem", None) == "s2d"
+
     def stage(k):
         """Slice stripe k's rows [y0-halo, y0+own+halo) with edge replication
         beyond the slide (exactly predict_full_fcn's mode='edge' padding),
-        pad width to wp+2*halo the same way, and upload."""
+        pad width to wp+2*halo the same way, host-pack (s2d stems) and
+        upload. The host-side 4x4 s2d pack runs on the staging/prefetch
+        thread, so it hides behind the upload exactly like the padding."""
         y0 = k * own
         ys = np.clip(np.arange(y0 - halo, y0 + own + halo), 0, h - 1)
         rows = np.asarray(img[ys[0] : ys[-1] + 1])
@@ -335,10 +346,16 @@ def predict_full_fcn_streamed(
         rows = np.pad(
             rows, ((top, max(0, bot)), (halo, wp - w + halo), (0, 0)), mode="edge"
         )
+        if pre_packed:
+            sh, sw, sc = rows.shape
+            rows = np.ascontiguousarray(
+                rows.reshape(sh // 4, 4, sw // 4, 4, sc).transpose(0, 2, 1, 3, 4)
+            ).reshape(sh // 4, sw // 4, 16 * sc)
         return jax.device_put(rows)
 
     program = _make_fcn_stripe_program(
-        model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch
+        model, tile, halo, n_classes, patch_size, own, wp, kx, tile_batch,
+        pre_packed,
     )
     fc_bias = jnp.asarray(
         np.asarray(variables["params"]["fc"]["bias"], np.float32)
