@@ -95,6 +95,8 @@ def main():
     # reported in detail.stage_s.
     image = jnp.asarray(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
     t0 = time.perf_counter()
+    # device-side pack (HBM->HBM strided slices): the slide is already
+    # resident; host ingest would pack in numpy instead (stage_for_fcn)
     staged = stage_for_fcn(image, tile=TILE, halo=HALO)
     float(jnp.asarray(staged.packed).astype(jnp.float32).sum())
     stage_s = time.perf_counter() - t0

@@ -191,8 +191,60 @@ def batch_sweep():
             f.write(json.dumps(r) + "\n")
 
 
+def packed_mode():
+    """Raw vs PackedSlide coverage-random predict, same run (staged s2d
+    gather + 4-px jitter grid — pipeline.py; jitter coarsening documented)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.predict.pipeline import (
+        predict_full_random_fused, stage_packed_slide,
+    )
+
+    H = W = 8192
+    rng = np.random.default_rng(0)
+    image_np = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    image = jnp.asarray(image_np)
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, pretrained=False)
+    out_path = Path(__file__).parent / (
+        f"random_predict_profile_{jax.default_backend()}.jsonl"
+    )
+    pslide = stage_packed_slide(image_np, keep_raw=False)
+    rows = []
+    for label, img in (("raw", image), ("packed", pslide)):
+        _, pred, _, filled, steps = predict_full_random_fused(
+            img, model, variables, n_classes=5, patch_size=224,
+            batch_size=512, downscale=16, speedup=16,
+        )
+        float(jnp.asarray(pred).sum())
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            _, pred, _, filled, steps = predict_full_random_fused(
+                img, model, variables, n_classes=5, patch_size=224,
+                batch_size=512, downscale=16, speedup=16, seed=i + 1,
+            )
+            float(jnp.asarray(pred).sum())
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        rows.append({
+            "stage": "full_random_predict_packed_mode", "input": label,
+            "batch": 512, "best_s": round(dt, 4), "steps": int(steps),
+            "filled": round(float(filled), 4),
+            "patches_per_s": round(int(steps) * 512 / dt, 1),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    with out_path.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
 if __name__ == "__main__":
     if "--batch_sweep" in sys.argv:
         batch_sweep()
+    elif "--packed" in sys.argv:
+        packed_mode()
     else:
         main()

@@ -134,10 +134,30 @@ def s2d_pack_image(image):
     slow relayout once per slide (~30 ms on an 8192² slide through v5e) —
     that is a STAGING cost (do it when the slide is uploaded, where it hides
     behind ingest I/O), not a per-predict cost. Packing commutes with
-    slicing, so results are bit-identical."""
+    slicing, so results are bit-identical.
+
+    Implementation: 16 strided slices + a channel concat, NOT the
+    reshape/transpose the stem uses — the standalone 5-D reshape
+    materializes with a TPU tiled layout that pads the (4, c) minor dims
+    ~32x (an 817 MB pack intermediate allocated 26 GB on a 16384² slide,
+    v5e OOM). Channel order (ry*4 + rx)*c + ci matches the stem's exactly."""
     h, w, c = image.shape
-    x = image.reshape(h // 4, 4, w // 4, 4, c)
-    return x.transpose(0, 2, 1, 3, 4).reshape(h // 4, w // 4, 16 * c)
+    parts = [
+        jax.lax.slice(image, (ry, rx, 0), (h, w, c), (4, 4, 1))
+        for ry in range(4)
+        for rx in range(4)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _host_pack_s2d(a: np.ndarray) -> np.ndarray:
+    """numpy 4x4 s2d pack (same channel order as s2d_pack_image) — the
+    ingest-side path: slides arrive through the host anyway, and packing
+    there costs one memcpy-bound transpose instead of device relayout."""
+    h, w, c = a.shape
+    return np.ascontiguousarray(
+        a.reshape(h // 4, 4, w // 4, 4, c).transpose(0, 2, 1, 3, 4)
+    ).reshape(h // 4, w // 4, 16 * c)
 
 
 class FcnStagedSlide:
@@ -162,16 +182,20 @@ def stage_for_fcn(image, tile: int = 1024, halo: int = 64) -> FcnStagedSlide:
     """Stage a slide for s2d-stem fcn serving (FcnStagedSlide docstring).
 
     image: (H, W, C) uint8 (host or device). tile/halo must match the
-    predict_full_fcn call (they fix the padded grid)."""
-    image = jnp.asarray(image)
+    predict_full_fcn call (they fix the padded grid). Host arrays pad and
+    pack on the host (the production ingest path — one memcpy-bound numpy
+    transpose, then a single packed upload); device arrays pack on device."""
+    host = isinstance(image, np.ndarray)
+    if not host:
+        image = jnp.asarray(image)
     h, w = int(image.shape[0]), int(image.shape[1])
     ty, tx = -(-h // tile), -(-w // tile)
-    padded = jnp.pad(
-        image,
-        ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0)),
-        mode="edge",
-    )
-    return FcnStagedSlide(s2d_pack_image(padded), h, w, tile, halo)
+    pad_spec = ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0))
+    if host:
+        packed = jnp.asarray(_host_pack_s2d(np.pad(image, pad_spec, mode="edge")))
+    else:
+        packed = s2d_pack_image(jnp.pad(image, pad_spec, mode="edge"))
+    return FcnStagedSlide(packed, h, w, tile, halo)
 
 
 @functools.lru_cache(maxsize=32)

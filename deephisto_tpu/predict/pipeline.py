@@ -68,17 +68,24 @@ def stage_packed_slide(image, keep_raw: bool = True) -> PackedSlide:
 
     keep_raw retains the raw device image alongside the packed one (~2x the
     slide's HBM footprint) so misaligned prediction grids can fall back;
-    keep_raw=False drops it, and misaligned grids raise."""
-    from .fcn import s2d_pack_image
+    keep_raw=False drops it, and misaligned grids raise. Host arrays pack on
+    the host (the ingest path; stage_for_fcn docstring)."""
+    from .fcn import _host_pack_s2d, s2d_pack_image
 
-    image = jnp.asarray(image)
+    host = isinstance(image, np.ndarray)
     h, w = int(image.shape[0]), int(image.shape[1])
-    padded = image
-    if h % 4 or w % 4:
-        padded = jnp.pad(image, ((0, -h % 4), (0, -w % 4), (0, 0)), mode="edge")
-    return PackedSlide(
-        s2d_pack_image(padded), h, w, raw=image if keep_raw else None
-    )
+    pad_spec = ((0, -h % 4), (0, -w % 4), (0, 0))
+    if host:
+        padded = np.pad(image, pad_spec, mode="edge") if (h % 4 or w % 4) else image
+        packed = jnp.asarray(_host_pack_s2d(padded))
+        image = jnp.asarray(image)
+    else:
+        image = jnp.asarray(image)
+        padded = (
+            jnp.pad(image, pad_spec, mode="edge") if (h % 4 or w % 4) else image
+        )
+        packed = s2d_pack_image(padded)
+    return PackedSlide(packed, h, w, raw=image if keep_raw else None)
 
 
 def dense_coords(h: int, w: int, patch_size: int, stride: int) -> np.ndarray:
@@ -171,7 +178,7 @@ def _predict_scan(
     jax.jit,
     static_argnames=(
         "model", "patch_size", "batch_size", "downscale", "speedup",
-        "dense_level", "n_classes", "max_steps",
+        "dense_level", "n_classes", "max_steps", "packed", "hw",
     ),
 )
 def _predict_random_while(
@@ -186,9 +193,10 @@ def _predict_random_while(
     dense_level: int,
     n_classes: int,
     max_steps: int,
+    packed: bool = False,
+    hw: tuple | None = None,
 ):
-    h = image.shape[0]
-    w = image.shape[1]
+    h, w = hw if hw is not None else (image.shape[0], image.shape[1])
     dh, dw = h // speedup, w // speedup
     mh, mw = h // downscale, w // downscale
     ps = patch_size
@@ -204,18 +212,30 @@ def _predict_random_while(
         key, k_cells, k_jit = jax.random.split(key, 3)
 
         cy, cx = coverage_cell_topk(k_cells, accum, dense_level, batch_size)
-        jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, speedup)
-        y = jnp.clip((cy - pd2) * speedup + jit_yx[0], 0, h - ps)
-        x = jnp.clip((cx - pd2) * speedup + jit_yx[1], 0, w - ps)
+        if packed:
+            # packed gather needs 4-aligned coords: draw the jitter on the
+            # 4-px grid and clamp to 4-aligned bounds (PackedSlide docstring;
+            # a documented coarsening of the jitter — coverage semantics are
+            # unchanged, every cell is still reachable)
+            jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, speedup // 4) * 4
+            y = jnp.clip((cy - pd2) * speedup + jit_yx[0], 0, (h - ps) // 4 * 4)
+            x = jnp.clip((cx - pd2) * speedup + jit_yx[1], 0, (w - ps) // 4 * 4)
+        else:
+            jit_yx = jax.random.randint(k_jit, (2, batch_size), 0, speedup)
+            y = jnp.clip((cy - pd2) * speedup + jit_yx[0], 0, h - ps)
+            x = jnp.clip((cx - pd2) * speedup + jit_yx[1], 0, w - ps)
         coords = jnp.stack([y, x], axis=1).astype(jnp.int32)
 
-        patches = gather_patches_xla(image, coords, ps)
+        patches = gather_patches_xla(
+            image, coords // 4 if packed else coords, ps // 4 if packed else ps
+        )
         xin = model_input(model, patches)
         logits = model.apply(
             {"params": variables["params"],
              "batch_stats": variables.get("batch_stats", {})},
             xin,
             train=False,
+            **({"pre_packed": True} if packed else {}),
         )
         pred = scatter_add_map_exact(pred, coords, logits, ps, downscale)
 
@@ -258,9 +278,28 @@ def predict_full_random_fused(
     carrying (coverage accumulator, class-score map): Gumbel-top-k cell draw →
     jitter → gather → bf16 forward → scatter-add, terminating at full
     coverage. Returns (argmax_map, score_map, coverage, filled, steps).
+
+    Accepts a :class:`PackedSlide` (s2d-stem models): patches gather in
+    packed space with the jitter drawn on the 4-px grid — same coverage
+    semantics, skips the per-batch relayout (PackedSlide docstring).
     """
-    image = jnp.asarray(image)
-    h, w = int(image.shape[0]), int(image.shape[1])
+    packed = isinstance(image, PackedSlide)
+    if packed:
+        if getattr(model, "stem", None) != "s2d":
+            raise ValueError(
+                "PackedSlide is the s2d-packed representation; the model "
+                f"has stem={getattr(model, 'stem', None)!r}"
+            )
+        if patch_size % 4 or speedup % 4:
+            raise ValueError(
+                "PackedSlide random predict needs 4-aligned patch_size and "
+                f"speedup (got {patch_size}, {speedup})"
+            )
+        h, w = image.h, image.w
+        image = image.packed
+    else:
+        image = jnp.asarray(image)
+        h, w = int(image.shape[0]), int(image.shape[1])
     if max_steps is None:
         dh, dw = h // speedup, w // speedup
         f_cov = coverage_footprint(patch_size, speedup)
@@ -268,7 +307,7 @@ def predict_full_random_fused(
         max_steps = int(4 * dense_level * dh * dw / max(per_step, 1)) + 64
     argmax_map, pred, accum, filled, steps = _predict_random_while(
         jax.random.key(seed), image, variables, model, patch_size, batch_size,
-        downscale, speedup, dense_level, n_classes, max_steps,
+        downscale, speedup, dense_level, n_classes, max_steps, packed, (h, w),
     )
     return np.asarray(argmax_map), pred, np.asarray(accum), float(filled), int(steps)
 

@@ -396,3 +396,27 @@ def test_packed_slide_exact_path_matches_raw(small_model, image):
             packed, model, variables, n_classes=5, patch_size=PS, stride=32,
             batch_size=16, downscale=D,
         )
+
+
+def test_packed_slide_random_predict_covers(small_model, image):
+    """Coverage-random predict accepts a PackedSlide: jitter coarsens to the
+    4-px packed grid (documented), coverage still terminates at filled=1 and
+    the map matches the raw run's modal structure."""
+    from deephisto_tpu.predict import predict_full_random_fused
+    from deephisto_tpu.predict.pipeline import stage_packed_slide
+
+    model, variables = small_model
+    am_raw, _, _, filled_r, _ = predict_full_random_fused(
+        image, model, variables, n_classes=5, patch_size=PS, batch_size=8,
+        downscale=D, speedup=16, seed=0,
+    )
+    packed = stage_packed_slide(image)
+    am_p, _, _, filled_p, steps = predict_full_random_fused(
+        packed, model, variables, n_classes=5, patch_size=PS, batch_size=8,
+        downscale=D, speedup=16, seed=0,
+    )
+    assert filled_r >= 1.0 and filled_p >= 1.0 and steps > 0
+    assert am_p.shape == am_raw.shape
+    # same weights, same coverage goal: maps agree except at jitter-level
+    # boundary cells
+    assert (am_p == am_raw).mean() > 0.6
