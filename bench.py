@@ -82,7 +82,11 @@ def main():
     from deephisto_tpu.predict.fcn import predict_full_fcn, stage_for_fcn
     from deephisto_tpu.predict.pipeline import dense_coords, predict_full_fused
 
-    H = W = 8192
+    # 16384^2 (~0.8 GB u8): real WSI layer-scale. Per-predict fixed costs
+    # (tunnel dispatch, edge tiles, scan overheads) amortize with slide area —
+    # the same fcn int8 config measures ~41.5k at 8192^2 vs ~62k at 16384^2
+    # (benchmarks/fcn_bench_tpu.jsonl, same-run pairs).
+    H = W = 16384
     PS, STRIDE, BATCH = 224, 112, 256
     TILE, HALO = 1024, 64
 

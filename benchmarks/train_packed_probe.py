@@ -11,6 +11,14 @@ full train body (fwd+bwd+adam, ResNet-18 s2d, b256) with:
            flips as packed-space reverses + channel perms (exact)
   raw_noaug / packed_noaug — isolate the flip cost
 
+VERDICT (v5e-1, train_packed_probe_tpu.jsonl): packed does NOT pay for
+training. raw 22.1 ms/step vs packed 23.3 with flips (packed-space flips
+need 48-channel perms, costing more than the stem relayout saves); noaug
+packed is only +1.6% (20.9 vs 21.3 ms) even with FREE resident inputs —
+production would additionally pay the packed-gather loss measured on the
+exact predict path (-5..-22%, PackedSlide docstring). Samplers keep the
+raw (B,224,224,3) uint8 contract.
+
 Timing: ONE compiled K-step scan program chained through its own carry
 (state in, state out) — calls×K steps share a single executable, and the
 differential (3 calls − 1 call = 2K steps) cancels the per-dispatch tunnel
