@@ -42,7 +42,11 @@ def test_resnet18_param_count(r18):
 
 def test_resnet50_param_count():
     model = ResNet50(num_classes=5, dtype=jnp.float32)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    # eval_shape: param shapes without running the init computation (~9s of
+    # r50 conv compiles saved in the fast tier; shapes are all this asserts)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, PS, PS, 3))), jax.random.key(0)
+    )
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     # torchvision resnet50 (5-class fc): 23,518,277 params
     assert n == 23_518_277

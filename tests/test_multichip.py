@@ -31,6 +31,9 @@ def test_shard_batch_places_on_data_axis():
     assert len(x.sharding.device_set) == 8
 
 
+@pytest.mark.slow  # ~24s of dual (sharded + single-device) train compiles;
+# the fast tier keeps mesh coverage via test_graft_dryrun_multichip (full
+# sharded train step compiles+runs) and the DP predict parity test
 def test_sharded_train_step_matches_single_device():
     """DP training over the mesh must produce the same loss trajectory as
     single-device training on the same batches (GSPMD all-reduce correctness,

@@ -209,6 +209,8 @@ def test_pack_l1_bit_exact(batch):
         )
 
 
+@pytest.mark.slow  # ~32s of fcn-program compiles; the pack_l1 invariant is
+# covered fast by test_pack_l1_bit_exact + test_quantized_fcn_mode
 def test_pack_l1_through_fcn_predict(batch):
     """quantize_resnet(pack_l1=True) is a drop-in for predict_full_fcn and
     produces the identical class map (the packed program is the production
