@@ -88,7 +88,12 @@ def main():
     # (benchmarks/fcn_bench_tpu.jsonl, same-run pairs).
     H = W = 16384
     PS, STRIDE, BATCH = 224, 112, 256
-    TILE, HALO = 1024, 64
+    # halo 32: equal-or-better exact-path agreement than 64 on the trained
+    # demo checkpoint (benchmarks/fcn_agreement_tpu.jsonl — patch-trained
+    # models bake conv zero-padding into features, so LESS synthetic halo
+    # context sits closer to patch behavior) and ~5% faster; tile_batch 16 >
+    # 8 >> 4, and tile 1024 beats 512/2048 (benchmarks/fcn16k_probe2_tpu.jsonl)
+    TILE, HALO, TILE_BATCH = 1024, 32, 16
 
     rng = np.random.default_rng(0)
     # stage the slide to HBM once — the production samplers hold slides
@@ -138,7 +143,8 @@ def main():
 
     def fcn(m, v):
         return lambda: predict_full_fcn(
-            staged, m, v, n_classes=5, patch_size=PS, tile=TILE, halo=HALO
+            staged, m, v, n_classes=5, patch_size=PS, tile=TILE, halo=HALO,
+            tile_batch=TILE_BATCH,
         )
 
     value, dt = best_of(fcn(qmodel, qvars), reps=5)
@@ -168,7 +174,7 @@ def main():
                     "patches": n_patches,
                     "wall_clock_s": round(dt, 4),
                     "model": "ResNet-18 s2d, int8 PTQ (bf16 residual carry, "
-                    "pack_l1 packed stage-1), fcn t1024/tb8/halo64, staged "
+                    "pack_l1 packed stage-1), fcn t1024/tb16/halo32, staged "
                     "slide",
                     **detail_rows,
                     "accuracy_note": "int8: exact top-1 parity on the trained "

@@ -53,7 +53,7 @@ def predict_full_fcn_spatial(
     downscale: int = 16,
     tile: int = 1024,
     halo: int = 64,
-    tile_batch: int = 8,
+    tile_batch: int = 16,
 ):
     """Band-sharded overlap-free fcn predict (predict/fcn.py) — the headline
     serving mode distributed over the mesh's ``data`` axis.

@@ -290,7 +290,7 @@ def predict_full_fcn(
     downscale: int = 16,
     tile: int = 1024,
     halo: int = 64,
-    tile_batch: int = 8,
+    tile_batch: int = 16,
 ):
     """Overlap-free dense full-WSI prediction (module docstring for the
     design). Drop-in alternative to ``predict_full_fused`` — same return
@@ -301,11 +301,17 @@ def predict_full_fcn(
     stride-32 conv feature map + linear GAP/fc head); ViT is not supported.
     tile/halo: tiles of ``tile``^2 px are processed with ``halo`` px of
     context on each side (both must be multiples of 32); ``tile_batch`` tiles
-    run per scan step as one batched forward. Defaults are the measured v5e
-    optimum (benchmarks/fcn_bench_tpu.jsonl: t1024/tb8/h64 → 30.2k bf16 /
-    38.6k int8 equivalent patches/s vs 23.3k/28.5k exact; halo 32 adds ~9%
-    more, adjudicated by the agreement study. ResNet-50: 20.5k bf16 / 21.1k
-    int8 at h64 — ~2x its exact path). For slides beyond the HBM budget use
+    run per scan step as one batched forward (results are identical for any
+    tile_batch — it only sets the per-step GEMM size; 16 is the measured v5e
+    optimum at 16384², benchmarks/fcn16k_probe2_tpu.jsonl: tb16 > tb8 >> tb4,
+    and tile=1024 beats both 512 and 2048 at equal halo overhead). halo=64
+    is the conservative default; halo=32 measured EQUAL-or-better exact-path
+    agreement on the trained demo checkpoint (patch-trained models bake
+    conv zero-padding into their features, so less synthetic context sits
+    closer to patch behavior — benchmarks/fcn_agreement_tpu.jsonl) and is
+    ~5-9% faster; serving deployments should prefer it unless the model was
+    context-trained with larger real context. ResNet-50: 20.5k bf16 / 21.1k
+    int8 at h64 — ~2x its exact path. For slides beyond the HBM budget use
     :func:`deephisto_tpu.predict.predict_full_fcn_streamed` (bit-identical).
     """
     if patch_size % FEATURE_STRIDE:

@@ -282,7 +282,7 @@ def predict_full_fcn_streamed(
     stripe_rows: int = 2048,
     tile: int = 1024,
     halo: int = 64,
-    tile_batch: int = 8,
+    tile_batch: int = 16,
     prestage_all: bool = False,
     timings: dict | None = None,
 ):
