@@ -61,9 +61,10 @@ def predict_full_fcn_spatial(
     Bands align to TILE rows, so stage 1 (the per-tile backbone scan) is
     bit-identical to the single-chip program's tile partitioning; each device
     computes features only for its own tile rows. The single cross-band
-    coupling is the window pool's ``wf - 1`` (= 6) feature-row overlap, moved
-    with ONE ``ppermute`` of the top feature rows to the previous band
-    (~(wf-1)·fw·C bf16 per link — a few MB, pure ICI). Stage 3 runs on the
+    coupling is the window pool's ``wf - 1`` (= 6) row overlap, moved with
+    ONE ``ppermute`` of the top fc-projected LOGIT rows to the previous band
+    ((wf-1)·fw·n_classes f32 per link — tens of KB, pure ICI). Stage 3 runs
+    on the
     gathered window-logit grid (ky·kx·n_classes — tiny) through the same
     ``_window_ensemble`` as the single-chip path, so the result is
     numerically IDENTICAL to ``predict_full_fcn`` with the same
@@ -161,28 +162,34 @@ def predict_full_fcn_spatial(
                 xin = jax.vmap(slice_one)(idxs)
                 xin = model_input(model, xin)
                 f = _backbone_features(model, variables, xin)
-                return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+                # fc projection inside the scan, mirroring fcn.py's program:
+                # bit-identical (per-cell linear op) and the assembled map is
+                # (rows, fw, n_classes) instead of a materialized 512-channel
+                # feature map (fcn16k_probe3: ~27% of single-chip wall-clock)
+                f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+                return None, f.astype(jnp.float32) @ fc_kernel
 
-            _, tiles_f = jax.lax.scan(tile_step, None, idx)
-            c = tiles_f.shape[-1]
-            feat = (
-                tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
-                .reshape(ty_per, tx, ft, ft, c)
+            _, tiles_l = jax.lax.scan(tile_step, None, idx)
+            nc = tiles_l.shape[-1]
+            lmap = (
+                tiles_l.reshape(n_steps * tb, ft, ft, nc)[:n_tiles]
+                .reshape(ty_per, tx, ft, ft, nc)
                 .transpose(0, 2, 1, 3, 4)
-                .reshape(ty_per * ft, fw_band, c)
+                .reshape(ty_per * ft, fw_band, nc)
             )
-            # halo exchange: previous band needs my first wf-1 feature rows
-            # for its trailing window pools. The last band receives zeros —
-            # its tail window rows are >= ky and are sliced off below.
-            top = feat[: wf - 1]
+            # halo exchange: previous band needs my first wf-1 LOGIT rows for
+            # its trailing window pools (projection commutes with the
+            # exchange, and n_classes channels cost ~100x less ICI than the
+            # 512-channel feature rows). The last band receives zeros — its
+            # tail window rows are >= ky and are sliced off below.
+            top = lmap[: wf - 1]
             recv = (
                 jax.lax.ppermute(top, DATA_AXIS, perm)
                 if perm
                 else jnp.zeros_like(top)
             )
-            feat_ext = jnp.concatenate([feat, recv], axis=0)
-            logit_map = feat_ext.astype(jnp.float32) @ fc_kernel
-            wlog = _avg_pool_f32(logit_map, wf)[: ty_per * ft, :kx] + fc_bias
+            lmap_ext = jnp.concatenate([lmap, recv], axis=0)
+            wlog = _avg_pool_f32(lmap_ext, wf)[: ty_per * ft, :kx] + fc_bias
             return wlog[None]  # (1, ty_per*ft, kx, n_classes) -> stacked
 
         wlog_bands = band_wlog(bands)  # (n_dev, ty_per*ft, kx, n_classes)
@@ -290,4 +297,5 @@ def predict_full_spatial(
         return jax.lax.psum(pred_map, DATA_AXIS)
 
     pred_map = run(bands_dev, starts_dev, coords_dev, valid_dev)
-    return np.asarray(jnp.argmax(pred_map, axis=-1))
+    # uint8 class map: n_classes <= 255, 4x smaller device->host fetch
+    return np.asarray(jnp.argmax(pred_map, axis=-1).astype(jnp.uint8))

@@ -106,7 +106,11 @@ def _window_ensemble(wlog, wf: int, up: int, ky: int, kx: int, mh: int, mw: int)
     idx_x = jnp.minimum(jnp.arange(ix), kx + wf - 2)
     a = a[idx_y][:, idx_x]
     score = jnp.repeat(jnp.repeat(a, up, axis=0), up, axis=1)[:mh, :mw]
-    return jnp.argmax(score, axis=-1), score
+    # class maps travel as uint8: n_classes <= 255 by contract, and the
+    # device->host fetch of the full-slide map is 4x smaller than int32
+    # (measured 0.08 s of a 0.31 s 16384² predict through the dev tunnel —
+    # fcn16k_probe3; a PCIe host pays proportionally less but still 4x)
+    return jnp.argmax(score, axis=-1).astype(jnp.uint8), score
 
 
 def _backbone_features(model, variables, x, pre_packed=False):
@@ -232,14 +236,24 @@ def _make_fcn_program(
     @jax.jit
     def program(padded, variables):
         # ---- stage 1: backbone features, tile_batch tiles per step ------
-        # scan STACKS each step's tile features (no feature-map carry, no
-        # dynamic updates); the slide feature map is then a pure
-        # reshape/transpose of the stacked tiles
+        # scan STACKS each step's per-tile LOGIT maps (no feature-map carry,
+        # no dynamic updates). The fc projection runs INSIDE the scan: fc,
+        # avg-pool, and slicing all commute (each stride-32 feature cell is
+        # projected independently), so projecting 512 -> n_classes per tile
+        # is bit-identical to projecting the assembled map — and the
+        # assembled array shrinks ~100x. Measured on v5e at 16384²: the
+        # (fh, fw, 512) bf16 feature map is only free to assemble when
+        # consumed by a reduction; feeding it to the fc matmul materializes
+        # a 256 MB relayout worth ~27% of the whole program
+        # (benchmarks/fcn16k_probe3_tpu.jsonl: 0.316 s -> 0.230 s,
+        # bit-exact score maps).
         hh = halo // fs
         # pre_packed: ``padded`` is the 4x4 s2d representation of the slide
         # (s2d_pack_image) and tiles are sliced in packed units — the tile
         # values are identical, without the per-step relayout transpose
         pk = 4 if pre_packed else 1
+        fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
+        fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
 
         def tile_step(_, idxs):
             def slice_one(t):
@@ -253,26 +267,25 @@ def _make_fcn_program(
             xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8 [packed]
             xin = model_input(model, xin)
             f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
-            return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+            # bf16 cast BEFORE the f32 matmul: keeps the projection
+            # numerically identical to the round-1 assemble-then-project
+            # program (features=True returns bf16 for the int8 model and the
+            # cast is how the float models were measured/tested)
+            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+            return None, f.astype(jnp.float32) @ fc_kernel
 
-        # channel count from the fc kernel (works for float and int8 variables)
-        fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
-        fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
-        _, tiles_f = jax.lax.scan(
+        _, tiles_l = jax.lax.scan(
             tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
         )
-        c = tiles_f.shape[-1]
-        feat = (
-            tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
-            .reshape(ty, tx, ft, ft, c)
+        nc = tiles_l.shape[-1]
+        logit_map = (
+            tiles_l.reshape(n_steps * tb, ft, ft, nc)[:n_tiles]
+            .reshape(ty, tx, ft, ft, nc)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(fh, fw, c)
+            .reshape(fh, fw, nc)
         )
 
         # ---- stage 2: window logits on the 32-aligned grid --------------
-        # fc and avg-pool are both linear, so fc(avgpool(F)) == avgpool(fc(F));
-        # projecting 512 -> n_classes FIRST makes the 7x7 pool ~100x cheaper
-        logit_map = feat.astype(jnp.float32) @ fc_kernel  # (fh, fw, n_classes)
         wlog = _avg_pool_f32(logit_map, wf)[:ky, :kx] + fc_bias
 
         # ---- stage 3: per-cell average over covering windows ------------
@@ -314,6 +327,8 @@ def predict_full_fcn(
     int8 at h64 — ~2x its exact path. For slides beyond the HBM budget use
     :func:`deephisto_tpu.predict.predict_full_fcn_streamed` (bit-identical).
     """
+    if n_classes > 255:
+        raise ValueError("class maps are uint8: n_classes must be <= 255")
     if patch_size % FEATURE_STRIDE:
         raise ValueError(f"patch_size must be a multiple of {FEATURE_STRIDE}")
     if FEATURE_STRIDE % downscale:

@@ -75,7 +75,7 @@ class ImagePredictorPatched:
             progress_bar.n = round(progress * 100, 2)
             progress_bar.refresh()
         progress_bar.close()
-        return np.asarray(jnp.argmax(prediction, axis=2))
+        return np.asarray(jnp.argmax(prediction, axis=2).astype(jnp.uint8))
 
 
 def process_on_device(
@@ -125,7 +125,7 @@ def process_on_device(
 
     if normalize_counts:
         pred_map = pred_map / jnp.maximum(count_map, 1.0)
-    return np.asarray(jnp.argmax(pred_map, axis=2))
+    return np.asarray(jnp.argmax(pred_map, axis=2).astype(jnp.uint8))
 
 
 def batch_predictor(patches: list[Patch], model, variables: dict) -> np.ndarray:

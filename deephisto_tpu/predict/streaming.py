@@ -150,7 +150,7 @@ def predict_full_streamed(
                 jnp.asarray(coords_all[k]),
                 jnp.asarray(valid_all[k]),
             )
-        am = np.asarray(jnp.argmax(pred_map, axis=-1))  # forces completion
+        am = np.asarray(jnp.argmax(pred_map, axis=-1).astype(jnp.uint8))  # forces completion
         t2 = _time.perf_counter()
         if timings is not None:
             timings["staging_s"] = t1 - t0
@@ -181,7 +181,8 @@ def predict_full_streamed(
             t.join()
             current = next_buf[0]
 
-    return np.asarray(jnp.argmax(pred_map, axis=-1)), pred_map
+    # uint8 class map: n_classes <= 255, 4x smaller device->host fetch
+    return np.asarray(jnp.argmax(pred_map, axis=-1).astype(jnp.uint8)), pred_map
 
 
 @functools.lru_cache(maxsize=16)
@@ -229,20 +230,24 @@ def _make_fcn_stripe_program(
             xin = jax.vmap(slice_one)(idxs)
             xin = model_input(model, xin)
             f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
-            return None, f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+            # fc projection inside the scan, mirroring fcn.py's program:
+            # bit-identical (per-cell linear op), and the assembled stripe
+            # map is n_classes channels instead of a materialized 512-channel
+            # feature map (fcn16k_probe3: ~27% of resident-path wall-clock)
+            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+            return None, f.astype(jnp.float32) @ fc_kernel
 
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
-        _, tiles_f = jax.lax.scan(
+        _, tiles_l = jax.lax.scan(
             tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
         )
-        c = tiles_f.shape[-1]
-        feat = (
-            tiles_f.reshape(n_steps * tb, ft, ft, c)[:n_tiles]
-            .reshape(ty_s, tx, ft, ft, c)
+        nc = tiles_l.shape[-1]
+        logits = (
+            tiles_l.reshape(n_steps * tb, ft, ft, nc)[:n_tiles]
+            .reshape(ty_s, tx, ft, ft, nc)
             .transpose(0, 2, 1, 3, 4)
-            .reshape(fr, fw, c)
-        )
-        logits = feat.astype(jnp.float32) @ fc_kernel  # (fr, fw, n_classes)
+            .reshape(fr, fw, nc)
+        )  # (fr, fw, n_classes)
         cat = jnp.concatenate([tail, logits], axis=0)  # (wf-1+fr, fw, ncls)
         # same two 1-D VALID sum-pools + /wf^2 as fcn._avg_pool_f32, split at
         # the stripe boundary — bit-identical partial sums
