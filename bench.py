@@ -177,8 +177,11 @@ def main():
                     "pack_l1 packed stage-1), fcn t1024/tb16/halo32, staged "
                     "slide",
                     **detail_rows,
-                    "accuracy_note": "int8: exact top-1 parity on the trained "
-                    "demo checkpoint; fcn-vs-exact map agreement: "
+                    "accuracy_note": "int8 vs float on trained demo "
+                    "checkpoints: top-1 delta 0.0 and -0.005 across the two "
+                    "measured checkpoints; map flips sit entirely below the "
+                    "5th float-margin percentile (low-margin boundary "
+                    "cells). fcn-vs-exact agreement + sources: "
                     "benchmarks/fcn_agreement_tpu.jsonl + "
                     "benchmarks/int8_accuracy_tpu.jsonl (speed here measured "
                     "on a random-init model)",
