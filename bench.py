@@ -107,7 +107,10 @@ def main():
     # device-side pack (HBM->HBM strided slices): the slide is already
     # resident; host ingest would pack in numpy instead (stage_for_fcn)
     staged = stage_for_fcn(image, tile=TILE, halo=HALO)
-    float(jnp.asarray(staged.packed).astype(jnp.float32).sum())
+    # forced completion via a single-element fetch — summing the whole packed
+    # slide in f32 would materialize a ~3.2 GB temporary inside the timed
+    # window (and ~12.9 GB at 32768², an OOM) for no extra sync guarantee
+    float(staged.packed[0, 0, 0].astype(jnp.float32))
     stage_s = time.perf_counter() - t0
 
     model = get_model(5, depth=18, stem="s2d")  # TPU stem (+15% vs imagenet stem)

@@ -75,11 +75,12 @@ def predict_full_fcn_spatial(
     from ..predict.fcn import (
         FEATURE_STRIDE,
         _avg_pool_f32,
-        _backbone_features,
         _window_ensemble,
+        check_uint8_classes,
+        tile_logits,
     )
-    from ..predict.pipeline import model_input
 
+    check_uint8_classes(n_classes)
     fs = FEATURE_STRIDE
     if patch_size % fs:
         raise ValueError(f"patch_size must be a multiple of {fs}")
@@ -160,14 +161,10 @@ def predict_full_fcn_spatial(
                     )
 
                 xin = jax.vmap(slice_one)(idxs)
-                xin = model_input(model, xin)
-                f = _backbone_features(model, variables, xin)
-                # fc projection inside the scan, mirroring fcn.py's program:
-                # bit-identical (per-cell linear op) and the assembled map is
-                # (rows, fw, n_classes) instead of a materialized 512-channel
-                # feature map (fcn16k_probe3: ~27% of single-chip wall-clock)
-                f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
-                return None, f.astype(jnp.float32) @ fc_kernel
+                # shared per-tile body (fcn.tile_logits): backbone features,
+                # halo crop, fc projection inside the scan — bit-identical
+                # to the single-chip fcn program by construction
+                return None, tile_logits(model, variables, xin, hh, ft, fc_kernel)
 
             _, tiles_l = jax.lax.scan(tile_step, None, idx)
             nc = tiles_l.shape[-1]
@@ -214,8 +211,10 @@ def predict_full_spatial(
     """Dense full-WSI predict with the slide row-banded across the mesh's
     data axis. Returns the argmax class map (host numpy).
     """
+    from ..predict.fcn import check_uint8_classes
     from ..predict.pipeline import dense_coords, model_input
 
+    check_uint8_classes(n_classes)
     n_dev = mesh.shape[DATA_AXIS]
     image = np.asarray(image)
     h, w = image.shape[:2]

@@ -124,6 +124,30 @@ def _backbone_features(model, variables, x, pre_packed=False):
     )
 
 
+def check_uint8_classes(n_classes: int):
+    """Class maps travel as uint8 on every predict path (4x smaller
+    device->host transfer; _window_ensemble docstring) — reject class counts
+    that would silently wrap."""
+    if n_classes > 255:
+        raise ValueError("class maps are uint8: n_classes must be <= 255")
+
+
+def tile_logits(model, variables, xin_u8, hh, ft, fc_kernel, pre_packed=False):
+    """The per-tile body shared by the resident fcn program, the streamed
+    stripe program (predict/streaming.py), and the band-sharded program
+    (parallel/spatial.py): backbone features for a tile batch, halo-cropped,
+    and fc-projected INSIDE the scan. The bf16 cast BEFORE the f32 matmul is
+    load-bearing — it keeps the projection bit-identical to projecting the
+    assembled bf16 feature map (the round-1 program all parity tests were
+    measured against), while avoiding that map's 256 MB-1 GB
+    materialization (benchmarks/fcn16k_probe3_tpu.jsonl). Any numeric change
+    here changes all three serving paths in lockstep, which is the point."""
+    xin = model_input(model, xin_u8)
+    f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
+    f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
+    return f.astype(jnp.float32) @ fc_kernel
+
+
 @jax.jit
 def s2d_pack_image(image):
     """(H, W, C) → the 4x4 space-to-depth packing (H/4, W/4, 16C), matching
@@ -265,14 +289,9 @@ def _make_fcn_program(
                 )
 
             xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8 [packed]
-            xin = model_input(model, xin)
-            f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
-            # bf16 cast BEFORE the f32 matmul: keeps the projection
-            # numerically identical to the round-1 assemble-then-project
-            # program (features=True returns bf16 for the int8 model and the
-            # cast is how the float models were measured/tested)
-            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
-            return None, f.astype(jnp.float32) @ fc_kernel
+            return None, tile_logits(
+                model, variables, xin, hh, ft, fc_kernel, pre_packed=pre_packed
+            )
 
         _, tiles_l = jax.lax.scan(
             tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
@@ -329,8 +348,7 @@ def predict_full_fcn(
     session-5. For slides beyond the HBM budget use
     :func:`deephisto_tpu.predict.predict_full_fcn_streamed` (bit-identical).
     """
-    if n_classes > 255:
-        raise ValueError("class maps are uint8: n_classes must be <= 255")
+    check_uint8_classes(n_classes)
     if patch_size % FEATURE_STRIDE:
         raise ValueError(f"patch_size must be a multiple of {FEATURE_STRIDE}")
     if FEATURE_STRIDE % downscale:

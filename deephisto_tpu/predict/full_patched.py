@@ -27,6 +27,7 @@ import numpy as np
 from ..anno import AnnoDescription
 from ..ops.stitch import map_footprint, scatter_add_map, scatter_add_map_exact
 from ..slide import Patch, Slide, open_slide
+from .fcn import check_uint8_classes
 
 
 class ImagePredictorPatched:
@@ -43,6 +44,7 @@ class ImagePredictorPatched:
     ):
         self.patch_sampler = patch_sampler
         self.batch_predictor = batch_predictor
+        check_uint8_classes(len(anno.anno_classes))
         self.anno = anno
         self.layer = layer
         self.downscale = downscale
@@ -90,6 +92,7 @@ def process_on_device(
 ) -> np.ndarray:
     """The TPU-native fast path: sampler's device batches → jitted
     preprocess+forward+scatter-add; only the final argmax map leaves HBM."""
+    check_uint8_classes(n_classes)
     d = downscale
     dh, dw = sampler.h // d, sampler.w // d
     ps = sampler.patch_size

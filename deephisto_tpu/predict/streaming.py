@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.gather import gather_patches_xla
-from .fcn import FEATURE_STRIDE, _backbone_features, _window_ensemble
+from .fcn import FEATURE_STRIDE, _window_ensemble, check_uint8_classes, tile_logits
 from .pipeline import model_input
 from ..ops.stitch import scatter_add_map_exact
 
@@ -63,6 +63,7 @@ def predict_full_streamed(
     Returns (argmax_map, score_map_device). Matches ``predict_full_fused``
     output wherever both apply (stripes own disjoint coord rows).
     """
+    check_uint8_classes(n_classes)
     img = slide_layer
     h, w = int(img.shape[0]), int(img.shape[1])
     ps, d = patch_size, downscale
@@ -228,14 +229,12 @@ def _make_fcn_stripe_program(
                 )
 
             xin = jax.vmap(slice_one)(idxs)
-            xin = model_input(model, xin)
-            f = _backbone_features(model, variables, xin, pre_packed=pre_packed)
-            # fc projection inside the scan, mirroring fcn.py's program:
-            # bit-identical (per-cell linear op), and the assembled stripe
-            # map is n_classes channels instead of a materialized 512-channel
-            # feature map (fcn16k_probe3: ~27% of resident-path wall-clock)
-            f = f[:, hh : hh + ft, hh : hh + ft].astype(jnp.bfloat16)
-            return None, f.astype(jnp.float32) @ fc_kernel
+            # shared per-tile body (fcn.tile_logits): backbone features,
+            # halo crop, fc projection inside the scan — bit-identical to
+            # the resident fcn program by construction
+            return None, tile_logits(
+                model, variables, xin, hh, ft, fc_kernel, pre_packed=pre_packed
+            )
 
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
         _, tiles_l = jax.lax.scan(
@@ -309,6 +308,7 @@ def predict_full_fcn_streamed(
     Reference analog: the over-budget ONDISK role of
     reference patch_samplers/full_samplers.py:406-423, redesigned TPU-first.
     """
+    check_uint8_classes(n_classes)
     fs = FEATURE_STRIDE
     if patch_size % fs:
         raise ValueError(f"patch_size must be a multiple of {fs}")

@@ -210,6 +210,7 @@ def test_fcn_streamed_single_stripe_and_batched(small_model, image):
         image, model, variables, 5, patch_size=PS, downscale=D,
         stripe_rows=192, tile=64, halo=32, tile_batch=4,
     )
+    assert am_s.dtype == np.uint8  # wire contract, test_class_maps_are_uint8
     np.testing.assert_array_equal(am_r, am_s)
 
 
@@ -270,6 +271,45 @@ def test_class_maps_are_uint8(small_model, image):
         predict_full_fused(
             image, model, variables, n_classes=256, patch_size=PS,
             stride=PS // 2, batch_size=8,
+        )
+
+
+def test_uint8_guard_on_every_predict_path(small_model, image):
+    """Every path that emits a uint8 class map must REJECT n_classes > 255 up
+    front — a silent wrap would corrupt the map (class 299 -> 43). The guards
+    run before any heavy argument is touched, so stand-ins are fine here."""
+    import types
+
+    from deephisto_tpu.predict import (
+        predict_full_fcn_streamed,
+        predict_full_streamed,
+    )
+    from deephisto_tpu.predict.full_patched import (
+        ImagePredictorPatched,
+        process_on_device,
+    )
+    from deephisto_tpu.parallel.spatial import (
+        predict_full_fcn_spatial,
+        predict_full_spatial,
+    )
+
+    model, variables = small_model
+    with pytest.raises(ValueError, match="uint8"):
+        predict_full_streamed(image, model, variables, 256, patch_size=PS)
+    with pytest.raises(ValueError, match="uint8"):
+        predict_full_fcn_streamed(image, model, variables, 256, patch_size=PS)
+    with pytest.raises(ValueError, match="uint8"):
+        predict_full_fcn_spatial(image, model, variables, 256, mesh=None,
+                                 patch_size=PS)
+    with pytest.raises(ValueError, match="uint8"):
+        predict_full_spatial(image, model, variables, 256, mesh=None,
+                             patch_size=PS)
+    with pytest.raises(ValueError, match="uint8"):
+        process_on_device(None, model, variables, 256)
+    with pytest.raises(ValueError, match="uint8"):
+        ImagePredictorPatched(
+            None, None, None,
+            types.SimpleNamespace(anno_classes=[None] * 256), layer=0,
         )
 
 

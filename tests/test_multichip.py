@@ -207,6 +207,7 @@ def test_spatial_sharded_predict_matches_single():
         stride=ps, batch_size=16, downscale=16,
     )
     # padded lanes are zero-masked in both paths — the maps must agree exactly
+    assert spatial.dtype == np.uint8  # wire contract, test_class_maps_are_uint8
     np.testing.assert_array_equal(single, spatial)
 
 
@@ -240,6 +241,7 @@ def test_fcn_spatial_matches_single_chip(n_dev):
     am_multi, s_multi = predict_full_fcn_spatial(
         img, model, variables, mesh=mesh, **kw
     )
+    assert am_multi.dtype == np.uint8  # wire contract, test_class_maps_are_uint8
     np.testing.assert_array_equal(am_single, am_multi)
     np.testing.assert_allclose(
         np.asarray(s_single), np.asarray(s_multi), rtol=1e-5, atol=1e-5
