@@ -17,9 +17,25 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import (
+    STAGE_AXIS,
+    create_pipeline_state,
+    make_pipeline_steps,
+    make_pp_mesh,
+    merge_vit_params,
+    pipeline_params_to_canonical,
+    split_vit_params,
+)
 from .spatial import band_partition, predict_full_fcn_spatial, predict_full_spatial
 
 __all__ = [
+    "STAGE_AXIS",
+    "create_pipeline_state",
+    "make_pipeline_steps",
+    "make_pp_mesh",
+    "merge_vit_params",
+    "pipeline_params_to_canonical",
+    "split_vit_params",
     "band_partition",
     "predict_full_fcn_spatial",
     "predict_full_spatial",
