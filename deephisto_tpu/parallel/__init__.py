@@ -27,8 +27,11 @@ from .pipeline import (
     split_vit_params,
 )
 from .spatial import band_partition, predict_full_fcn_spatial, predict_full_spatial
+from .tensor import place_vit_tensor_parallel, vit_tp_shardings
 
 __all__ = [
+    "place_vit_tensor_parallel",
+    "vit_tp_shardings",
     "STAGE_AXIS",
     "create_pipeline_state",
     "make_pipeline_steps",
