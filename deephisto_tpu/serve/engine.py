@@ -1,0 +1,310 @@
+"""Long-lived serving engine over the fused predict programs.
+
+Reference analog: the offline predict loop the reference re-runs per slide
+(examples/predict_full_patched.py:40-63) and its single-patch predict entry
+(models/patch_cls_simple/predict.py). Here the checkpoint loads ONCE, the
+predict programs stay compiled across requests (jit cache + the persistent
+compilation cache), slides can be pre-staged in device HBM for repeated
+serving, and one lock serializes device work (one chip; concurrent programs
+through the tunnel serialize anyway — CLAUDE.md).
+
+Modes (docs/SERVING.md):
+  fcn    — overlap-free dense map (ResNet family; the throughput headline)
+  dense  — exact reference semantics (stride-112 sliding window)
+  random — coverage-guided random predict
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+MODES = ("fcn", "dense", "random")
+
+
+def _load_calib(calib) -> list:
+    """Calibration batches for int8 PTQ: (N, P, P, 3) uint8 array / .npy
+    path / None. None falls back to uniform noise — fine for throughput,
+    but accuracy-grade serving should calibrate on real patches
+    (benchmarks/int8_accuracy_tpu.jsonl measured parity with real calib)."""
+    import jax.numpy as jnp
+
+    if calib is None:
+        rng = np.random.default_rng(0)
+        arr = rng.random((64, 224, 224, 3), dtype=np.float32)
+        return [jnp.asarray(arr)]
+    if isinstance(calib, (str, Path)):
+        calib = np.load(calib)
+    arr = np.asarray(calib)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return [jnp.asarray(arr[i : i + 64]) for i in range(0, len(arr), 64)]
+
+
+class ServingEngine:
+    """Checkpoint-resident predict service.
+
+    Build with :meth:`from_checkpoint` (config YAML + msgpack weights, the
+    trainer's artifacts) or directly from (model, variables, cfg). All
+    device work is serialized behind one lock — safe to call from the
+    threaded HTTP server.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        cfg: dict,
+        *,
+        int8: bool = False,
+        calib=None,
+        mode: str = "fcn",
+        tile: int = 1024,
+        halo: int = 32,
+        tile_batch: int = 16,
+        max_staged_slides: int = 4,
+    ):
+        from ..models.vit import ViT
+
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.is_vit = isinstance(model, ViT)
+        self.n_classes = int(cfg["model"]["n_classes"])
+        self.patch_size = int(cfg["dataset"]["patch_size"])
+        self.context = int(cfg["model"].get("context", 0))
+        self.int8 = bool(int8)
+        if mode == "fcn" and self.is_vit:
+            # fcn needs the stride-32 conv feature map (predict/fcn.py)
+            mode = "dense"
+        self.default_mode = mode
+        self.tile, self.halo, self.tile_batch = int(tile), int(halo), int(tile_batch)
+        self._lock = threading.Lock()
+        self._staged: OrderedDict[str, Any] = OrderedDict()
+        self._max_staged = int(max_staged_slides)
+        self._requests = 0
+
+        if int8:
+            from ..models import quantize_model, quantize_resnet
+
+            batches = _load_calib(calib)
+            if self.is_vit:
+                self.qmodel, self.qvars = quantize_model(model, variables, batches)
+                self.qmodel_fcn = self.qvars_fcn = None
+            else:
+                # pack_l1 wins at fcn tile extents, loses at 224-patch
+                # extents (CLAUDE.md session-3) — keep one of each
+                self.qmodel_fcn, self.qvars_fcn = quantize_resnet(
+                    model, variables, batches, pack_l1=True
+                )
+                self.qmodel, self.qvars = quantize_resnet(model, variables, batches)
+        else:
+            self.qmodel = self.qvars = None
+            self.qmodel_fcn = self.qvars_fcn = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls, config_path, weights_path, **kw
+    ) -> "ServingEngine":
+        from ..models.patch_cls_simple.model import get_model
+        from ..models.patch_cls_simple.utils import load_config
+        from ..train.checkpoint import load_model as load_weights
+
+        cfg = load_config(config_path)
+        m = cfg["model"]
+        model = get_model(
+            m["n_classes"],
+            depth=m.get("depth", 18),
+            stem=m.get("stem", "imagenet"),
+            arch=m.get("arch", "resnet"),
+            width=m.get("width", 1),
+        )
+        variables = load_weights(weights_path)
+        return cls(model, variables, cfg, **kw)
+
+    # ------------------------------------------------------------------
+    def _model_for(self, mode: str):
+        """(model, variables) serving a given mode — int8 when loaded."""
+        if not self.int8:
+            return self.model, self.variables
+        if mode == "fcn" and self.qmodel_fcn is not None:
+            return self.qmodel_fcn, self.qvars_fcn
+        return self.qmodel, self.qvars
+
+    def info(self) -> dict:
+        m = self.cfg["model"]
+        return {
+            "arch": m.get("arch", "resnet"),
+            "depth": m.get("depth", 18),
+            "stem": m.get("stem", "imagenet"),
+            "width": m.get("width", 1),
+            "context": self.context,
+            "n_classes": self.n_classes,
+            "patch_size": self.patch_size,
+            "int8": self.int8,
+            "default_mode": self.default_mode,
+            "modes": list(MODES) if not self.is_vit else ["dense", "random"],
+            "fcn": {"tile": self.tile, "halo": self.halo,
+                    "tile_batch": self.tile_batch},
+            "staged_slides": list(self._staged),
+            "requests": self._requests,
+        }
+
+    # ------------------------------------------------------------------
+    def predict_patch(self, img_u8: np.ndarray) -> dict:
+        """Classify one (H, W, 3) uint8 patch — the reference predict.py
+        contract (same /255 normalization as training; context-trained
+        checkpoints classify through their training-time context window)."""
+        import jax.numpy as jnp
+
+        img = np.asarray(img_u8)
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) uint8 patch, got {img.shape}")
+        ps = self.patch_size
+        if img.shape[:2] != (ps, ps):
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray(img).resize((ps, ps), Image.BILINEAR)
+            )
+        model, variables = self.model, self.variables  # float path: one patch
+        if self.context:
+            from ..models.patch_cls_simple.context import ContextWindowModel
+
+            model = ContextWindowModel(
+                self.model, patch_size=ps, context=self.context
+            )
+            img = np.pad(
+                img,
+                ((self.context, self.context), (self.context, self.context), (0, 0)),
+                mode="edge",
+            )
+        import jax
+
+        x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+        with self._lock:
+            self._requests += 1
+            logits = model.apply(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+                x, train=False,
+            )
+            probs = np.asarray(jax.nn.softmax(logits, -1)[0], np.float32)
+        return {
+            "class": int(np.argmax(probs)),
+            "probs": [float(p) for p in probs],
+        }
+
+    # ------------------------------------------------------------------
+    def stage_slide(self, key: str, image: np.ndarray) -> dict:
+        """Pre-stage a slide in HBM for repeated fcn serving (pays the s2d
+        relayout once — predict/fcn.py stage_for_fcn). LRU-evicts beyond
+        ``max_staged_slides``."""
+        from ..predict.fcn import stage_for_fcn
+
+        if self.is_vit:
+            raise ValueError("staging is the fcn-mode fast path; ViT has none")
+        image = np.asarray(image)
+        with self._lock:
+            self._requests += 1
+            staged = stage_for_fcn(image, tile=self.tile, halo=self.halo)
+            self._staged[key] = staged
+            self._staged.move_to_end(key)
+            while len(self._staged) > self._max_staged:
+                self._staged.popitem(last=False)
+        return {"key": key, "h": staged.h, "w": staged.w,
+                "staged": list(self._staged)}
+
+    def evict_slide(self, key: str) -> bool:
+        with self._lock:
+            return self._staged.pop(key, None) is not None
+
+    # ------------------------------------------------------------------
+    def predict_slide(
+        self,
+        image: np.ndarray | None = None,
+        *,
+        key: str | None = None,
+        mode: str | None = None,
+        seed: int = 0,
+    ) -> tuple[np.ndarray, dict]:
+        """Full-WSI class map. ``image``: (H, W, 3) uint8, or ``key``: a
+        previously staged slide (fcn mode only). Returns
+        (uint8 argmax map at downscale 16, meta)."""
+        mode = mode or self.default_mode
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        if self.is_vit and mode == "fcn":
+            raise ValueError("fcn mode needs a ResNet-family backbone")
+        if (image is None) == (key is None):
+            raise ValueError("pass exactly one of image= or key=")
+        if key is not None:
+            if mode != "fcn":
+                raise ValueError("staged slides serve the fcn mode only")
+            with self._lock:
+                staged = self._staged.get(key)
+                if staged is not None:
+                    self._staged.move_to_end(key)
+            if staged is None:
+                raise KeyError(f"no staged slide {key!r}")
+            src: Any = staged
+            h, w = staged.h, staged.w
+        else:
+            src = np.asarray(image)
+            if src.ndim != 3 or src.shape[-1] != 3 or src.dtype != np.uint8:
+                raise ValueError(
+                    f"expected (H, W, 3) uint8 slide, got {src.shape} {src.dtype}"
+                )
+            h, w = src.shape[:2]
+
+        model, variables = self._model_for(mode)
+        with self._lock:
+            self._requests += 1
+            if mode == "fcn":
+                from ..predict.fcn import predict_full_fcn
+
+                amap, _ = predict_full_fcn(
+                    src, model, variables, self.n_classes,
+                    patch_size=self.patch_size, tile=self.tile,
+                    halo=self.halo, tile_batch=self.tile_batch,
+                )
+            elif mode == "dense":
+                from ..predict.pipeline import predict_full_fused
+
+                amap, _ = predict_full_fused(
+                    src, model, variables, self.n_classes,
+                    patch_size=self.patch_size,
+                )
+            else:
+                from ..predict.pipeline import predict_full_random_fused
+
+                # Gumbel-top-k draws from the speedup-16 coverage grid; a
+                # batch larger than the grid is unsatisfiable (small slides)
+                batch = min(512, (h // 16) * (w // 16))
+                amap, _, _, filled, steps = predict_full_random_fused(
+                    src, model, variables, self.n_classes,
+                    patch_size=self.patch_size, batch_size=max(batch, 1),
+                    seed=seed,
+                )
+        amap = np.asarray(amap, np.uint8)
+        meta = {"mode": mode, "h": h, "w": w, "downscale": 16,
+                "int8": self.int8, "map_shape": list(amap.shape)}
+        return amap, meta
+
+    # ------------------------------------------------------------------
+    def warmup(self, h: int, w: int, mode: str | None = None) -> dict:
+        """Compile the slide program for an expected (h, w) before traffic
+        (TPU compiles through the tunnel take minutes cold — CLAUDE.md;
+        the persistent compilation cache makes this a warm no-op later)."""
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        _, meta = self.predict_slide(img, mode=mode)
+        meta["warmup"] = True
+        return meta
