@@ -67,6 +67,7 @@ class ServingEngine:
         halo: int = 32,
         tile_batch: int = 16,
         max_staged_slides: int = 4,
+        stream_above_bytes: int = 8 << 30,
     ):
         from ..models.vit import ViT
 
@@ -85,6 +86,10 @@ class ServingEngine:
             mode = "dense"
         self.default_mode = mode
         self.tile, self.halo, self.tile_batch = int(tile), int(halo), int(tile_batch)
+        # fcn requests beyond this slide size stream through HBM in stripes
+        # (predict/streaming.py predict_full_fcn_streamed — bit-identical);
+        # default 8 GiB leaves room for the s2d pack + features on a 16 GB v5e
+        self.stream_above_bytes = int(stream_above_bytes)
         self._lock = threading.Lock()
         self._staged: OrderedDict[str, Any] = OrderedDict()
         self._max_staged = int(max_staged_slides)
@@ -265,16 +270,29 @@ class ServingEngine:
             h, w = src.shape[:2]
 
         model, variables = self._model_for(mode)
+        streamed = False
         with self._lock:
             self._requests += 1
             if mode == "fcn":
-                from ..predict.fcn import predict_full_fcn
+                if key is None and src.nbytes > self.stream_above_bytes:
+                    # over-budget slide: stripe-stream through HBM
+                    # (bit-identical to the resident program)
+                    from ..predict.streaming import predict_full_fcn_streamed
 
-                amap, _ = predict_full_fcn(
-                    src, model, variables, self.n_classes,
-                    patch_size=self.patch_size, tile=self.tile,
-                    halo=self.halo, tile_batch=self.tile_batch,
-                )
+                    streamed = True
+                    amap, _ = predict_full_fcn_streamed(
+                        src, model, variables, self.n_classes,
+                        patch_size=self.patch_size, tile=self.tile,
+                        halo=self.halo, tile_batch=self.tile_batch,
+                    )
+                else:
+                    from ..predict.fcn import predict_full_fcn
+
+                    amap, _ = predict_full_fcn(
+                        src, model, variables, self.n_classes,
+                        patch_size=self.patch_size, tile=self.tile,
+                        halo=self.halo, tile_batch=self.tile_batch,
+                    )
             elif mode == "dense":
                 from ..predict.pipeline import predict_full_fused
 
@@ -295,7 +313,8 @@ class ServingEngine:
                 )
         amap = np.asarray(amap, np.uint8)
         meta = {"mode": mode, "h": h, "w": w, "downscale": 16,
-                "int8": self.int8, "map_shape": list(amap.shape)}
+                "int8": self.int8, "streamed": streamed,
+                "map_shape": list(amap.shape)}
         return amap, meta
 
     # ------------------------------------------------------------------

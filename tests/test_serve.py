@@ -316,3 +316,15 @@ def test_vit_engine_falls_back_to_dense(image):
     assert amap.dtype == np.uint8 and meta["mode"] == "dense"
     with pytest.raises(ValueError):
         eng.stage_slide("k", image)
+
+
+def test_over_budget_routes_to_streamed(model_vars, cfg, image):
+    model, variables = model_vars
+    eng = ServingEngine(model, variables, cfg, stream_above_bytes=1, **FCN)
+    amap_s, meta = eng.predict_slide(image, mode="fcn")
+    assert meta["streamed"] is True
+    resident = ServingEngine(model, variables, cfg, **FCN)
+    amap_r, meta_r = resident.predict_slide(image, mode="fcn")
+    assert meta_r["streamed"] is False
+    # the streamed program's contract is bit-identical maps (streaming.py)
+    np.testing.assert_array_equal(amap_s, amap_r)
