@@ -94,6 +94,7 @@ class ServingEngine:
         self._staged: OrderedDict[str, Any] = OrderedDict()
         self._max_staged = int(max_staged_slides)
         self._requests = 0
+        self._patch_fn = None  # lazily-built jitted single-patch program
 
         if int8:
             from ..models import quantize_model, quantize_resnet
@@ -179,29 +180,43 @@ class ServingEngine:
             img = np.asarray(
                 Image.fromarray(img).resize((ps, ps), Image.BILINEAR)
             )
-        model, variables = self.model, self.variables  # float path: one patch
         if self.context:
-            from ..models.patch_cls_simple.context import ContextWindowModel
-
-            model = ContextWindowModel(
-                self.model, patch_size=ps, context=self.context
-            )
             img = np.pad(
                 img,
                 ((self.context, self.context), (self.context, self.context), (0, 0)),
                 mode="edge",
             )
-        import jax
-
-        x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
         with self._lock:
             self._requests += 1
-            logits = model.apply(
-                {"params": variables["params"],
-                 "batch_stats": variables.get("batch_stats", {})},
-                x, train=False,
-            )
-            probs = np.asarray(jax.nn.softmax(logits, -1)[0], np.float32)
+            if self._patch_fn is None:
+                # one compiled program per daemon (unjitted apply executes
+                # op-by-op — ~300 ms/request through the tunnel, measured in
+                # benchmarks/serve_bench_tpu.jsonl before this cache)
+                import jax
+
+                model = self.model
+                if self.context:
+                    from ..models.patch_cls_simple.context import (
+                        ContextWindowModel,
+                    )
+
+                    model = ContextWindowModel(
+                        self.model, patch_size=ps, context=self.context
+                    )
+                variables = self.variables
+
+                @jax.jit
+                def patch_fn(x_u8):
+                    x = x_u8[None].astype(jnp.float32) / 255.0
+                    logits = model.apply(
+                        {"params": variables["params"],
+                         "batch_stats": variables.get("batch_stats", {})},
+                        x, train=False,
+                    )
+                    return jax.nn.softmax(logits.astype(jnp.float32), -1)[0]
+
+                self._patch_fn = patch_fn
+            probs = np.asarray(self._patch_fn(jnp.asarray(img)), np.float32)
         return {
             "class": int(np.argmax(probs)),
             "probs": [float(p) for p in probs],
