@@ -1,4 +1,10 @@
-"""Training utilities (L3): train state, plateau LR, checkpointing, metrics."""
+"""Training utilities (L3): train state, plateau LR, checkpointing, metrics.
+
+Checkpointing has two tiers: the single-file msgpack path below (the
+reference-parity workflow) and ``deephisto_tpu.train.orbax_ckpt`` — sharded,
+async, mesh-shape-portable checkpoints for multi-host/tensor-parallel scale
+(imported lazily; orbax is only loaded when asked for).
+"""
 
 from .checkpoint import (
     BEST_MODEL_FILE,
