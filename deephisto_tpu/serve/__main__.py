@@ -21,7 +21,10 @@ def main(argv=None):
         description="Online full-WSI / patch prediction over a trained checkpoint.",
     )
     p.add_argument("--config", required=True, help="model config YAML")
-    p.add_argument("--weights", required=True, help="checkpoint .msgpack")
+    p.add_argument("--weights", required=True,
+                   help="checkpoint: best_model.msgpack, or an orbax "
+                        "checkpoint directory (mesh-scale training artifact, "
+                        "train/orbax_ckpt.py — latest step, weights only)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8477)
     p.add_argument("--mode", choices=MODES, default="fcn",

@@ -132,7 +132,14 @@ class ServingEngine:
             arch=m.get("arch", "resnet"),
             width=m.get("width", 1),
         )
-        variables = load_weights(weights_path)
+        if Path(weights_path).is_dir():
+            # an orbax checkpoint directory (mesh-scale training artifact,
+            # train/orbax_ckpt.py) — weights-only restore, latest step
+            from ..train.orbax_ckpt import load_model as load_orbax
+
+            variables = load_orbax(weights_path)
+        else:
+            variables = load_weights(weights_path)
         return cls(model, variables, cfg, **kw)
 
     # ------------------------------------------------------------------

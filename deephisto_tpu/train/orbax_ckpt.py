@@ -41,6 +41,7 @@ __all__ = [
     "checkpoint_manager",
     "save_train_state",
     "restore_train_state",
+    "load_model",
     "latest_step",
 ]
 
@@ -104,6 +105,28 @@ def save_train_state(
 
 def latest_step(mgr: ocp.CheckpointManager) -> int | None:
     return mgr.latest_step()
+
+
+def load_model(directory: Path | str, step: int | None = None) -> dict:
+    """Weights-only load from an orbax train-state checkpoint directory →
+    ``{"params": ..., "batch_stats": ...}`` as host numpy arrays — the
+    serving-side counterpart of :func:`.checkpoint.load_model`, so a model
+    trained at mesh scale serves without conversion (the single serving chip
+    places weights itself; no template or optimizer structure needed)."""
+    mgr = checkpoint_manager(directory, async_save=False)
+    try:
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint steps under {directory}")
+        restored = mgr.restore(
+            int(step),
+            args=ocp.args.Composite(state=ocp.args.StandardRestore()),
+        )
+        d = restored["state"]
+        return {"params": d["params"], "batch_stats": d.get("batch_stats") or {}}
+    finally:
+        mgr.close()
 
 
 def restore_train_state(

@@ -280,6 +280,43 @@ def test_from_checkpoint(tmp_path):
     assert out["class"] == int(jnp.argmax(ref, -1)[0])
 
 
+def test_from_checkpoint_orbax_dir(tmp_path):
+    """A mesh-scale training artifact (orbax checkpoint DIRECTORY,
+    train/orbax_ckpt.py) serves directly: from_checkpoint detects the dir and
+    does a weights-only restore of the latest step."""
+    import yaml
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model
+    from deephisto_tpu.train import create_train_state
+    from deephisto_tpu.train import orbax_ckpt as oc
+
+    real = get_model(NC, depth=18, stem="s2d")
+    rv = real.init(jax.random.key(1), jnp.zeros((1, PS, PS, 3)))
+    state = create_train_state(real, rv, learning_rate=1e-3)
+    ckpt_dir = tmp_path / "orbax"
+    mgr = oc.checkpoint_manager(ckpt_dir, async_save=False)
+    oc.save_train_state(mgr, 5, state, epoch=2)
+    mgr.close()
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "model": {"n_classes": NC, "depth": 18, "stem": "s2d"},
+        "dataset": {"patch_size": PS},
+    }))
+    eng = ServingEngine.from_checkpoint(cfg_path, ckpt_dir, **FCN)
+    img = np.random.default_rng(9).integers(0, 255, (PS, PS, 3), dtype=np.uint8)
+    out = eng.predict_patch(img)
+    ref = real.apply(
+        {"params": rv["params"], "batch_stats": rv["batch_stats"]},
+        jnp.asarray(img[None]).astype(jnp.float32) / 255.0, train=False,
+    )
+    assert out["class"] == int(jnp.argmax(ref, -1)[0])
+    np.testing.assert_allclose(
+        out["probs"], np.asarray(jax.nn.softmax(ref, -1)[0], np.float32),
+        atol=1e-5,
+    )
+
+
 # --------------------------------------------------------------------------
 # int8 serving + ViT fallback
 
