@@ -26,6 +26,65 @@ import numpy as np
 MODES = ("fcn", "dense", "random")
 
 
+class _PatchBatcher:
+    """Coalesce concurrent single-patch requests into one fixed-lane program.
+
+    A device dispatch costs ~40 ms through the tunnel whether it carries 1 or
+    8 patches (a 224² forward underfills the MXU at either batch), so requests
+    that arrive together should share one. A daemon thread drains a queue:
+    the first request opens a window of ``wait_ms`` (latency cost for a lone
+    request: the window), followers arriving inside it ride the same padded
+    LANES-wide batch. One fixed shape ⇒ exactly one compiled program.
+    BatchNorm/LayerNorm run in eval mode, so batch composition (including the
+    zero-padding lanes) cannot change any row's result.
+    """
+
+    def __init__(self, run_batch, lanes: int, wait_ms: float):
+        import queue
+
+        self._run = run_batch  # list[(P, P, 3) u8] -> (n, nc) float np
+        self._lanes = int(lanes)
+        self._wait_s = float(wait_ms) / 1e3
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._empty = queue.Empty
+        t = threading.Thread(target=self._loop, daemon=True,
+                             name="deephisto-patch-batcher")
+        t.start()
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        box: list[Any] = [None]
+        self._q.put((img, box, done))
+        done.wait()
+        if isinstance(box[0], BaseException):
+            raise box[0]
+        return box[0]
+
+    def _loop(self):
+        import time
+
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self._wait_s
+            while len(batch) < self._lanes:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except self._empty:
+                    break
+            try:
+                probs = self._run([b[0] for b in batch])
+                for (_, box, done), row in zip(batch, probs):
+                    box[0] = row
+                    done.set()
+            except BaseException as e:  # noqa: BLE001 — daemon must survive
+                for _, box, done in batch:
+                    box[0] = e
+                    done.set()
+
+
 def _load_calib(calib) -> list:
     """Calibration batches for int8 PTQ: (N, P, P, 3) uint8 array / .npy
     path / None. None falls back to uniform noise — fine for throughput,
@@ -68,6 +127,8 @@ class ServingEngine:
         tile_batch: int = 16,
         max_staged_slides: int = 4,
         stream_above_bytes: int = 8 << 30,
+        patch_lanes: int = 8,
+        patch_wait_ms: float = 2.0,
     ):
         from ..models.vit import ViT
 
@@ -94,7 +155,13 @@ class ServingEngine:
         self._staged: OrderedDict[str, Any] = OrderedDict()
         self._max_staged = int(max_staged_slides)
         self._requests = 0
-        self._patch_fn = None  # lazily-built jitted single-patch program
+        # lazily-built LANES-wide patch program + its request coalescer
+        # (_build_patch_program): concurrent /v1/patch requests share one
+        # ~40 ms dispatch instead of serializing through it one by one
+        self.patch_lanes = max(1, int(patch_lanes))
+        self.patch_wait_ms = float(patch_wait_ms)
+        self._patch_fn = None
+        self._patch_batcher = None
 
         if int8:
             from ..models import quantize_model, quantize_resnet
@@ -196,38 +263,55 @@ class ServingEngine:
         with self._lock:
             self._requests += 1
             if self._patch_fn is None:
-                # one compiled program per daemon (unjitted apply executes
-                # op-by-op — ~300 ms/request through the tunnel, measured in
-                # benchmarks/serve_bench_tpu.jsonl before this cache)
-                import jax
-
-                model = self.model
-                if self.context:
-                    from ..models.patch_cls_simple.context import (
-                        ContextWindowModel,
-                    )
-
-                    model = ContextWindowModel(
-                        self.model, patch_size=ps, context=self.context
-                    )
-                variables = self.variables
-
-                @jax.jit
-                def patch_fn(x_u8):
-                    x = x_u8[None].astype(jnp.float32) / 255.0
-                    logits = model.apply(
-                        {"params": variables["params"],
-                         "batch_stats": variables.get("batch_stats", {})},
-                        x, train=False,
-                    )
-                    return jax.nn.softmax(logits.astype(jnp.float32), -1)[0]
-
-                self._patch_fn = patch_fn
-            probs = np.asarray(self._patch_fn(jnp.asarray(img)), np.float32)
+                self._build_patch_program(ps)
+        probs = self._patch_batcher.submit(img)
         return {
             "class": int(np.argmax(probs)),
             "probs": [float(p) for p in probs],
         }
+
+    def _build_patch_program(self, ps: int):
+        """One compiled LANES-wide program per daemon (unjitted apply executes
+        op-by-op — ~300 ms/request through the tunnel, measured in
+        benchmarks/serve_bench_tpu.jsonl before this cache) + the request
+        coalescer feeding it. Called under the engine lock."""
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        if self.context:
+            from ..models.patch_cls_simple.context import ContextWindowModel
+
+            model = ContextWindowModel(
+                self.model, patch_size=ps, context=self.context
+            )
+        variables = self.variables
+        lanes = self.patch_lanes
+
+        @jax.jit
+        def patch_fn(x_u8):  # (lanes, P[+2c], P[+2c], 3) uint8
+            x = x_u8.astype(jnp.float32) / 255.0
+            logits = model.apply(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})},
+                x, train=False,
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), -1)
+
+        side = ps + 2 * self.context
+
+        def run_batch(imgs: list) -> np.ndarray:
+            arr = np.zeros((lanes, side, side, 3), np.uint8)
+            for i, im in enumerate(imgs):
+                arr[i] = im
+            with self._lock:  # device work serializes with slide predicts
+                probs = np.asarray(patch_fn(jnp.asarray(arr)), np.float32)
+            return probs[: len(imgs)]
+
+        self._patch_fn = patch_fn
+        self._patch_batcher = _PatchBatcher(
+            run_batch, lanes, self.patch_wait_ms
+        )
 
     # ------------------------------------------------------------------
     def stage_slide(self, key: str, image: np.ndarray) -> dict:

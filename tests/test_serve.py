@@ -317,6 +317,74 @@ def test_from_checkpoint_orbax_dir(tmp_path):
     )
 
 
+def test_patch_request_coalescing(model_vars, cfg):
+    """Concurrent predict_patch calls must coalesce into few LANES-wide
+    dispatches (engine._PatchBatcher) and return exactly the per-patch
+    results of the sequential path."""
+    import threading
+
+    model, variables = model_vars
+    eng = ServingEngine(model, variables, cfg, patch_lanes=8,
+                        patch_wait_ms=50.0, **FCN)
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (PS, PS, 3), dtype=np.uint8)
+            for _ in range(16)]
+
+    sequential = [eng.predict_patch(im) for im in imgs]  # builds the program
+
+    dispatches = []
+    inner = eng._patch_batcher._run
+
+    def counting(batch):
+        dispatches.append(len(batch))
+        return inner(batch)
+
+    eng._patch_batcher._run = counting
+    results = [None] * len(imgs)
+    barrier = threading.Barrier(len(imgs))
+
+    def worker(i):
+        barrier.wait()
+        results[i] = eng.predict_patch(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for seq, conc in zip(sequential, results):
+        assert seq["class"] == conc["class"]
+        np.testing.assert_allclose(seq["probs"], conc["probs"], atol=1e-5)
+    assert sum(dispatches) == 16
+    assert len(dispatches) <= 4, (
+        f"16 concurrent requests took {len(dispatches)} dispatches "
+        f"({dispatches}) — coalescing is not happening"
+    )
+    assert max(dispatches) <= 8
+
+
+def test_patch_batcher_surfaces_errors():
+    """A failing batch program must raise in every waiting request, not hang
+    or kill the daemon thread."""
+    from deephisto_tpu.serve.engine import _PatchBatcher
+
+    calls = []
+
+    def run(batch):
+        calls.append(len(batch))
+        if len(calls) == 1:
+            raise RuntimeError("boom")
+        return np.ones((len(batch), 2), np.float32)
+
+    b = _PatchBatcher(run, lanes=4, wait_ms=1.0)
+    with pytest.raises(RuntimeError, match="boom"):
+        b.submit(np.zeros((4, 4, 3), np.uint8))
+    # the daemon thread survived and serves the next request
+    out = b.submit(np.zeros((4, 4, 3), np.uint8))
+    assert out.shape == (2,)
+
+
 # --------------------------------------------------------------------------
 # int8 serving + ViT fallback
 
