@@ -139,6 +139,37 @@ def main():
               "all": [round(v, 4) for v in plats],
               "note": "single 224-patch classify over HTTP (float path; "
                       "tunnel dispatch floor is ~40 ms — CLAUDE.md)"})
+
+        # --- concurrent patch traffic (request coalescing) ----------------
+        # 32 simultaneous requests should ride ~4 eight-lane dispatches
+        # (engine._PatchBatcher) instead of 32 serialized ones
+        import threading
+
+        n_conc = 32
+        lats_box = [None] * n_conc
+
+        def one(i):
+            t0 = time.perf_counter()
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/v1/patch", data=body,
+                    headers={"Content-Type": "application/x-npy"}),
+                timeout=600).read()
+            lats_box[i] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(n_conc)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        emit({"what": "patch_http_concurrent", "n": n_conc,
+              "wall_s": wall, "patches_per_s": n_conc / wall,
+              "p50_latency_s": statistics.median(lats_box),
+              "note": "32 simultaneous /v1/patch requests; coalesced into "
+                      "8-lane dispatches (patch_lanes=8, 2 ms window)"})
     finally:
         srv.shutdown()
 

@@ -235,6 +235,7 @@ class ServingEngine:
                     "tile_batch": self.tile_batch},
             "staged_slides": list(self._staged),
             "requests": self._requests,
+            "patch_lanes": self.patch_lanes,
         }
 
     # ------------------------------------------------------------------
@@ -431,5 +432,11 @@ class ServingEngine:
         rng = np.random.default_rng(0)
         img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         _, meta = self.predict_slide(img, mode=mode)
+        # warm the patch program too — first online /v1/patch shouldn't
+        # eat its compile
+        self.predict_patch(
+            rng.integers(0, 255, (self.patch_size, self.patch_size, 3),
+                         dtype=np.uint8)
+        )
         meta["warmup"] = True
         return meta

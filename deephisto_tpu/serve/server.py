@@ -182,10 +182,18 @@ class _Handler(BaseHTTPRequestHandler):
         self._json(200, self.engine.warmup(h, w, mode=q.get("mode")))
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients (the patch-coalescing traffic pattern) stalls in SYN retries
+    # before the batcher ever sees the requests
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def make_server(engine: ServingEngine, host: str = "127.0.0.1",
                 port: int = 8477, verbose: bool = False) -> ThreadingHTTPServer:
     handler = type("Handler", (_Handler,), {"engine": engine})
-    srv = ThreadingHTTPServer((host, port), handler)
+    srv = _Server((host, port), handler)
     srv.verbose = verbose
     return srv
 
