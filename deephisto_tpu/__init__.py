@@ -39,9 +39,24 @@ def _enable_compilation_cache() -> None:
         # helper carry target features the local host may lack (SIGILL risk
         # if a TPU-session CPU artifact is loaded by a plain-CPU session)
         platform = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
+        suffix = platform
+        if platform == "cpu":
+            # CPU AOT executables bake in the compile host's ISA features;
+            # sessions land on heterogeneous VMs, and loading another host's
+            # artifact risks SIGILL (observed: avx512/amx feature mismatch
+            # warnings from cpu_aot_loader). Salt the dir per CPU type.
+            try:
+                import hashlib
+
+                with open("/proc/cpuinfo") as f:
+                    flags = next(
+                        (ln for ln in f if ln.startswith("flags")), "")
+                suffix += "_" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+            except OSError:
+                pass
         cache_dir = os.environ.get(
             "DEEPHISTO_COMPILE_CACHE",
-            os.path.expanduser(f"~/.cache/deephisto_tpu/jax_cache_{platform}"),
+            os.path.expanduser(f"~/.cache/deephisto_tpu/jax_cache_{suffix}"),
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
