@@ -105,12 +105,18 @@ def main():
     image = jnp.asarray(rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8))
     t0 = time.perf_counter()
     # device-side pack (HBM->HBM strided slices): the slide is already
-    # resident; host ingest would pack in numpy instead (stage_for_fcn)
-    staged = stage_for_fcn(image, tile=TILE, halo=HALO)
+    # resident; host ingest would pack in numpy instead (stage_for_fcn).
+    # pack=8 = the s2d8 packed-stem representation: the stem conv runs as an
+    # embedded b2a conv and emits pack_A directly, no on-device relayout of a
+    # conv output at all (models/quantize.py; bit-exact —
+    # benchmarks/fcn16k_probe7_tpu.jsonl: 142.1k vs 106.2k pack4 same-run)
+    staged = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8)
+    staged4 = stage_for_fcn(image, tile=TILE, halo=HALO)
     # forced completion via a single-element fetch — summing the whole packed
     # slide in f32 would materialize a ~3.2 GB temporary inside the timed
     # window (and ~12.9 GB at 32768², an OOM) for no extra sync guarantee
     float(staged.packed[0, 0, 0].astype(jnp.float32))
+    float(staged4.packed[0, 0, 0].astype(jnp.float32))
     stage_s = time.perf_counter() - t0
 
     model = get_model(5, depth=18, stem="s2d")  # TPU stem (+15% vs imagenet stem)
@@ -144,17 +150,18 @@ def main():
             batch_size=BATCH,
         )
 
-    def fcn(m, v):
+    def fcn(m, v, st):
         return lambda: predict_full_fcn(
-            staged, m, v, n_classes=5, patch_size=PS, tile=TILE, halo=HALO,
+            st, m, v, n_classes=5, patch_size=PS, tile=TILE, halo=HALO,
             tile_batch=TILE_BATCH,
         )
 
-    value, dt = best_of(fcn(qmodel, qvars), reps=5)
+    value, dt = best_of(fcn(qmodel, qvars, staged), reps=5)
 
     detail_rows = {"stage_s": round(stage_s, 4)}
     for label, fn, reps in (
-        ("fcn_bf16_staged", fcn(model, variables), 3),
+        ("fcn_int8_pack4_staged", fcn(qmodel, qvars, staged4), 3),
+        ("fcn_bf16_staged", fcn(model, variables, staged4), 3),
         ("exact_bf16_round12_methodology", exact(model, variables), 3),
         ("exact_int8", exact(qmodel_exact, qvars), 3),
     ):
@@ -177,8 +184,8 @@ def main():
                     "patches": n_patches,
                     "wall_clock_s": round(dt, 4),
                     "model": "ResNet-18 s2d, int8 PTQ (bf16 residual carry, "
-                    "pack_l1 packed stage-1), fcn t1024/tb16/halo32, staged "
-                    "slide",
+                    "pack_l1 packed stage-1, s2d8 packed stem), fcn "
+                    "t1024/tb16/halo32, pack=8 staged slide",
                     **detail_rows,
                     "accuracy_note": "int8 vs float on trained demo "
                     "checkpoints: top-1 delta 0.0 and -0.005 across the two "

@@ -198,12 +198,19 @@ def _conv(x, w, stride, padding="SAME"):
 
 
 def _pack_a(x):
-    """(b, h, w, c) → pack_A (b, h//2+1, w//2+1, 4c); h, w must be even."""
+    """(b, h, w, c) → pack_A (b, h//2+1, w//2+1, 4c); h, w must be even.
+
+    Four strided slices + a channel concat, NOT a 5-D reshape/transpose: the
+    transpose assigns the packed tensor a tiled layout whose padded (2, 2, c)
+    minor dims every downstream stage-1 conv then pays to read — measured on
+    the 16384² fcn program (benchmarks/fcn_pack_variants_tpu.jsonl): the
+    slice pack itself is ~2x slower (0.030 vs 0.011 s/slide) but the stage-1
+    loop consuming it drops 0.074 s, a 0.044 s/slide net win. Same fix as
+    predict/fcn.py s2d_pack_image. Channel order (si*2+sj)*c + ci."""
     b, h, w, c = x.shape
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    hp, wp = h // 2 + 1, w // 2 + 1
-    x = x.reshape(b, hp, 2, wp, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, 4 * c)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = [xp[:, si::2, sj::2, :] for si in (0, 1) for sj in (0, 1)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _edge_masks_a(hp, wp, c, dtype):
@@ -225,13 +232,20 @@ def _edge_masks_a(hp, wp, c, dtype):
 
 
 def _embed_kernel(k, kind):
-    """Embed a 3x3 (ci, co) kernel into the packed 2x2 dense kernel.
+    """Embed a 3x3 or 2x2 (ci, co) SAME-conv kernel into the packed 2x2
+    dense kernel.
 
     kind: "a2b" (pack_A in → pack_B out), "b2a" (pack_B in, conv pad (1,1) →
     pack_A out), "a2x" (pack_A in → stride-2 unpacked out, the stage-2 entry
     3x3), "a2x_1x1" (pack_A in, cropped to n/2 → stride-2 unpacked 1x1, the
-    downsample conv). Pure relocation + zero fill — exact in any dtype."""
+    downsample conv). Pure relocation + zero fill — exact in any dtype.
+
+    The tap offset dy is relative to the output pixel; a SAME conv's valid
+    taps are dy ∈ [-lo, kh-1-lo] with lo = (kh-1)//2 (XLA SAME pads
+    (lo, kh-1-lo)) — kh=3 gives the symmetric {-1,0,1}, kh=2 (the s2d stem
+    conv, resnet.py) the asymmetric {0,1}."""
     kh, kw, ci, co = k.shape
+    lo_y, lo_x = (kh - 1) // 2, (kw - 1) // 2
     pack_out = kind in ("a2b", "b2a")
     if kind == "a2x_1x1":
         K = jnp.zeros((1, 1, 4 * ci, co), k.dtype)
@@ -253,12 +267,12 @@ def _embed_kernel(k, kind):
                             else:  # a2x: out orig row 2i, no sub-position
                                 dy = 2 * kr + si - 1
                                 dx = 2 * kc + sj - 1
-                            if abs(dy) <= 1 and abs(dx) <= 1:
+                            if 0 <= dy + lo_y < kh and 0 <= dx + lo_x < kw:
                                 K = K.at[
                                     kr, kc,
                                     (si * 2 + sj) * ci : (si * 2 + sj + 1) * ci,
                                     (di * 2 + dj) * co : (di * 2 + dj + 1) * co,
-                                ].set(k[dy + 1, dx + 1])
+                                ].set(k[dy + lo_y, dx + lo_x])
     return K
 
 
@@ -396,11 +410,31 @@ class QuantizedResNet:
         x,
         train: bool = False,
         features: bool = False,
-        pre_packed: bool = False,
+        pre_packed: bool | str = False,
+        up_to: str | None = None,
     ):
+        """``pre_packed``: False (raw pixels), True (4x4 s2d-packed input,
+        the stem reshape pre-applied), or "s2d8" (8x8-packed input — the 2x2
+        pack_B grouping of the 4x4 representation; pack_l1 only). Under
+        "s2d8" the stem conv runs as an embedded b2a conv (the same math as
+        the stage-1 pconvs, _embed_kernel generalizes to 48→64) and PRODUCES
+        pack_A directly — no ``_pack_a`` relayout of a conv output at all,
+        which is worth ~0.07 s/slide on the 16384² fcn program
+        (benchmarks/fcn_pack_variants_tpu.jsonl). Bit-exact vs the other
+        modes (integer conv relocation + identical elementwise epilogues).
+
+        ``up_to`` cuts the pipeline after a named boundary and returns the
+        live tensor there (dtype as executed) — a measurement hook for stage
+        isolation (benchmarks/fcn_int8_stages.py), not a serving surface.
+        Boundaries: "quant" (input int8), "stem" (post conv1), "l1" (end of
+        the packed/plain stage 1), "l2_entry" (pack_l1 stage-2 entry block),
+        "layer2"/"layer3"/"layer4" (end of that residual stage)."""
         assert not train, "QuantizedResNet is inference-only"
         if pre_packed and self._model.stem != "s2d":
             raise ValueError("pre_packed input requires the s2d stem")
+        packed8 = pre_packed == "s2d8"
+        if packed8 and not self.pack_l1:
+            raise ValueError("pre_packed='s2d8' requires pack_l1=True")
         q = variables["params"]
         model = self._model
         basic, blocks = _conv_layers(model)
@@ -446,8 +480,12 @@ class QuantizedResNet:
                 jnp.round(xf.astype(jnp.float32) * inv), -127, 127
             ).astype(jnp.int8)
 
+        if up_to == "quant":
+            return x8
+
         # ---- stem (resnet.py:99-112), int8 convs ---------------------------
         first_block_in = f"{blocks[0][0]}/conv1"
+        x_bf = None
         if model.stem == "s2d":
             if not pre_packed:
                 b, h, w, c = x8.shape
@@ -458,24 +496,27 @@ class QuantizedResNet:
             stem_stride, stem_pad = 1, "SAME"
         else:
             stem_stride, stem_pad = 2, [(3, 3), (3, 3)]
-        if self.int8_residual:
+        if packed8:
+            pass  # stem runs packed, inside the pack_l1 section below
+        elif self.int8_residual:
             x8 = conv_to_int8("conv1", first_block_in, x8, stem_stride, stem_pad)
             if model.stem != "s2d":
                 x8 = nn_max_pool(x8)  # monotone: commutes with the requant
-            x_bf = None
         else:
             x_bf = jax.nn.relu(conv_f32("conv1", x8, stem_stride, stem_pad))
             if model.stem != "s2d":
                 x_bf = nn_max_pool(x_bf)
             x_bf = x_bf.astype(jnp.bfloat16)
             x8 = quant_to(first_block_in, x_bf)
+        if up_to == "stem":
+            return x8 if x_bf is None else x_bf
 
         # ---- packed stage 1 + stage-2 entry (pack_l1 mode) ------------------
         start = 0
         if self.pack_l1:
             n1 = model.stage_sizes[0]
             c1 = q["layer1_0/conv1"]["kernel_q"].shape[-1]
-            if x8.shape[1] % 2 or x8.shape[2] % 2:
+            if not packed8 and (x8.shape[1] % 2 or x8.shape[2] % 2):
                 raise ValueError(
                     f"pack_l1 needs an even stage-1 spatial extent, got "
                     f"{x8.shape[1:3]} (input height/width must be multiples "
@@ -511,16 +552,45 @@ class QuantizedResNet:
                     jnp.round(jax.nn.relu(y)), -127, 127
                 ).astype(jnp.int8)
 
-            if self.int8_residual:
+            if packed8:
+                # stem as an embedded b2a conv: the 8x8-packed input IS
+                # pack_B of the stem grid, so conv1 produces pack_A with no
+                # relayout of a conv output (apply() docstring). The edge
+                # masks zero pack_A's out-of-range lanes exactly where the
+                # unpacked stem's SAME padding would have written zeros.
+                row_m, col_m = _edge_masks_a(
+                    x8.shape[1] + 1, x8.shape[2] + 1, c1, jnp.float32
+                )
+                layer = q["conv1"]
+                y = pconv_s32("conv1", x8, "b2a").astype(jnp.float32)
+                if self.int8_residual:
+                    inv1 = q[first_block_in]["in_inv_scale"]
+                    y = y * (ptile(layer["dequant"], "b2a") * inv1) + ptile(
+                        layer["bias"], "b2a"
+                    ) * inv1
+                    y = jax.nn.relu(y) * row_m * col_m
+                    x8p = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+                    x_bfp = None
+                else:
+                    y = y * ptile(layer["dequant"], "b2a") + ptile(
+                        layer["bias"], "b2a"
+                    )
+                    y = jax.nn.relu(y) * row_m * col_m
+                    x_bfp = y.astype(jnp.bfloat16)
+                    x8p = quant_to(first_block_in, x_bfp)
+            elif self.int8_residual:
                 x8p, x_bfp = _pack_a(x8), None
             else:
                 # pack ONCE (bf16); the packed int8 is the same elementwise
                 # quantization applied after the transpose (zeros stay zero)
                 x_bfp = _pack_a(x_bf)
                 x8p = quant_to(first_block_in, x_bfp)
-            row_m, col_m = _edge_masks_a(
-                x8p.shape[1], x8p.shape[2], c1, jnp.float32
-            )
+            if up_to in (("stem", "pack") if packed8 else ("pack",)):
+                return x8p
+            if not packed8:
+                row_m, col_m = _edge_masks_a(
+                    x8p.shape[1], x8p.shape[2], c1, jnp.float32
+                )
             for j in range(n1):
                 name = f"layer1_{j}"
                 h8 = pconv_to_int8(f"{name}/conv1", f"{name}/conv2", x8p, "a2b")
@@ -539,6 +609,9 @@ class QuantizedResNet:
                     x_bfp = out_p.astype(jnp.bfloat16)
                     x8p = quant_to(nxt, x_bfp)
 
+            if up_to == "l1":
+                return x8p if x_bfp is None else x_bfp
+
             # stage-2 entry: conv1/downsample consume the packed tensor and
             # exit to the unpacked stride-2 grid; conv2 onward is standard
             name2, _s2 = blocks[n1]
@@ -553,6 +626,8 @@ class QuantizedResNet:
             if n1 + 1 < len(blocks):
                 nxt = f"{blocks[n1 + 1][0]}/conv1"
                 x8 = quant_to(nxt, out_f if self.int8_residual else x_bf)
+            if up_to == "l2_entry":
+                return out_f
             start = n1 + 1
 
         # ---- residual stages -----------------------------------------------
@@ -581,6 +656,13 @@ class QuantizedResNet:
                 nxt = f"{blocks[bi + 1][0]}/conv1"
                 src = out_f if self.int8_residual else x_bf
                 x8 = quant_to(nxt, src)
+            stage = name.split("_")[0]
+            stage_done = (
+                bi + 1 == len(blocks)
+                or not blocks[bi + 1][0].startswith(stage + "_")
+            )
+            if stage_done and up_to == {"layer1": "l1"}.get(stage, stage):
+                return out_f
 
         if features:
             return out_f.astype(jnp.bfloat16)

@@ -178,14 +178,40 @@ def s2d_pack_image(image):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _host_pack_s2d(a: np.ndarray) -> np.ndarray:
+def _host_pack_s2d(a: np.ndarray, pack: int = 4) -> np.ndarray:
     """numpy 4x4 s2d pack (same channel order as s2d_pack_image) — the
     ingest-side path: slides arrive through the host anyway, and packing
-    there costs one memcpy-bound transpose instead of device relayout."""
+    there costs one memcpy-bound transpose instead of device relayout.
+
+    pack=8: one more 2x2 grouping on top (channel = (si*2+sj)*48 + c4x4) —
+    the pack_B-of-the-stem-grid representation QuantizedResNet's
+    ``pre_packed="s2d8"`` consumes (models/quantize.py), letting the stem
+    conv produce pack_A directly with no on-device relayout."""
     h, w, c = a.shape
-    return np.ascontiguousarray(
+    p4 = np.ascontiguousarray(
         a.reshape(h // 4, 4, w // 4, 4, c).transpose(0, 2, 1, 3, 4)
     ).reshape(h // 4, w // 4, 16 * c)
+    if pack == 4:
+        return p4
+    assert pack == 8, pack
+    h4, w4, c4 = p4.shape
+    return np.ascontiguousarray(
+        p4.reshape(h4 // 2, 2, w4 // 2, 2, c4).transpose(0, 2, 1, 3, 4)
+    ).reshape(h4 // 2, w4 // 2, 4 * c4)
+
+
+@jax.jit
+def _pack2_device(p4):
+    """Device 2x2 grouping of a 4x4-packed image → the pack=8 layout
+    (_host_pack_s2d): strided slices + concat for the same layout reason as
+    s2d_pack_image."""
+    h4, w4, c4 = p4.shape
+    parts = [
+        jax.lax.slice(p4, (si, sj, 0), (h4, w4, c4), (2, 2, 1))
+        for si in range(2)
+        for sj in range(2)
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 class FcnStagedSlide:
@@ -198,21 +224,31 @@ class FcnStagedSlide:
     — the packed program just skips the per-tile relayout transpose that
     costs ~4.3 ms per scan step on v5e (s2d_pack_image docstring)."""
 
-    __slots__ = ("packed", "h", "w", "tile", "halo")
+    __slots__ = ("packed", "h", "w", "tile", "halo", "pack")
 
-    def __init__(self, packed, h, w, tile, halo):
+    def __init__(self, packed, h, w, tile, halo, pack=4):
         self.packed = packed
         self.h, self.w = h, w
         self.tile, self.halo = tile, halo
+        self.pack = pack
 
 
-def stage_for_fcn(image, tile: int = 1024, halo: int = 64) -> FcnStagedSlide:
+def stage_for_fcn(
+    image, tile: int = 1024, halo: int = 64, pack: int = 4
+) -> FcnStagedSlide:
     """Stage a slide for s2d-stem fcn serving (FcnStagedSlide docstring).
 
     image: (H, W, C) uint8 (host or device). tile/halo must match the
     predict_full_fcn call (they fix the padded grid). Host arrays pad and
     pack on the host (the production ingest path — one memcpy-bound numpy
-    transpose, then a single packed upload); device arrays pack on device."""
+    transpose, then a single packed upload); device arrays pack on device.
+
+    pack=8 stages the "s2d8" representation for pack_l1-quantized models
+    (_host_pack_s2d docstring) — bit-identical results, skips the packed
+    stage-1 input relayout; requires tile and halo to be multiples of 8
+    (any legal fcn tile/halo is, they must be multiples of 32)."""
+    if pack not in (4, 8):
+        raise ValueError(f"pack must be 4 or 8, got {pack}")
     host = isinstance(image, np.ndarray)
     if not host:
         image = jnp.asarray(image)
@@ -220,10 +256,14 @@ def stage_for_fcn(image, tile: int = 1024, halo: int = 64) -> FcnStagedSlide:
     ty, tx = -(-h // tile), -(-w // tile)
     pad_spec = ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0))
     if host:
-        packed = jnp.asarray(_host_pack_s2d(np.pad(image, pad_spec, mode="edge")))
+        packed = jnp.asarray(
+            _host_pack_s2d(np.pad(image, pad_spec, mode="edge"), pack)
+        )
     else:
         packed = s2d_pack_image(jnp.pad(image, pad_spec, mode="edge"))
-    return FcnStagedSlide(packed, h, w, tile, halo)
+        if pack == 8:
+            packed = _pack2_device(packed)
+    return FcnStagedSlide(packed, h, w, tile, halo, pack)
 
 
 @functools.lru_cache(maxsize=32)
@@ -272,10 +312,10 @@ def _make_fcn_program(
         # (benchmarks/fcn16k_probe3_tpu.jsonl: 0.316 s -> 0.230 s,
         # bit-exact score maps).
         hh = halo // fs
-        # pre_packed: ``padded`` is the 4x4 s2d representation of the slide
-        # (s2d_pack_image) and tiles are sliced in packed units — the tile
-        # values are identical, without the per-step relayout transpose
-        pk = 4 if pre_packed else 1
+        # pre_packed: ``padded`` is the 4x4 (True) or 8x8 ("s2d8") packed
+        # representation of the slide and tiles are sliced in packed units —
+        # the tile values are identical, without the per-step relayout
+        pk = {False: 1, True: 4, "s2d8": 8}[pre_packed]
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
         fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
 
@@ -356,6 +396,7 @@ def predict_full_fcn(
     if tile % FEATURE_STRIDE or halo % FEATURE_STRIDE:
         raise ValueError(f"tile and halo must be multiples of {FEATURE_STRIDE}")
     staged = isinstance(image, FcnStagedSlide)
+    pre_packed = False
     if staged:
         if getattr(model, "stem", None) != "s2d":
             raise ValueError(
@@ -367,6 +408,15 @@ def predict_full_fcn(
                 f"slide was staged for tile={image.tile}, halo={image.halo}; "
                 f"this call asked for tile={tile}, halo={halo}"
             )
+        pre_packed = True
+        if getattr(image, "pack", 4) == 8:
+            if not getattr(model, "pack_l1", False):
+                raise ValueError(
+                    "pack=8 staging is the pre_packed='s2d8' representation "
+                    "— it requires a pack_l1-quantized model "
+                    "(models/quantize.py)"
+                )
+            pre_packed = "s2d8"
         h, w = image.h, image.w
     else:
         image = jnp.asarray(image)
@@ -395,7 +445,7 @@ def predict_full_fcn(
         )
     program = _make_fcn_program(
         model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch,
-        pre_packed=staged,
+        pre_packed=pre_packed,
     )
     argmax_map, score = program(padded, variables)
     return np.asarray(argmax_map), score

@@ -414,6 +414,21 @@ def test_staged_slide_matches_raw_image(small_model, image):
     np.testing.assert_array_equal(np.asarray(sc_raw), np.asarray(sc_st))
 
 
+def test_pack8_staging_requires_pack_l1_model(small_model, image):
+    """pack=8 staging is the pre_packed='s2d8' representation — only a
+    pack_l1 QuantizedResNet can consume it; a float model must be rejected
+    before any program is compiled."""
+    from deephisto_tpu.predict.fcn import stage_for_fcn
+
+    model, variables = small_model
+    staged8 = stage_for_fcn(image, tile=128, halo=32, pack=8)
+    with pytest.raises(ValueError, match="pack_l1"):
+        predict_full_fcn(
+            staged8, model, variables, n_classes=5, patch_size=PS,
+            downscale=D, tile=128, halo=32,
+        )
+
+
 def test_staged_slide_validates_grid_and_stem(small_model, image):
     from deephisto_tpu.predict.fcn import stage_for_fcn
 

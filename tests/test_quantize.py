@@ -209,6 +209,55 @@ def test_pack_l1_bit_exact(batch):
         )
 
 
+def test_s2d8_packed_stem_bit_exact(batch):
+    """pre_packed="s2d8" (the 8x8-packed input whose stem conv runs as an
+    embedded b2a conv and emits pack_A directly — quantize.py apply
+    docstring) is BIT-exact vs the plain raw-pixel trunk, both residual
+    carries: the stem embedding is pure integer kernel relocation and the
+    edge masks reproduce exactly the SAME-padding zeros."""
+    from deephisto_tpu.models.quantize import QuantizedResNet
+    from deephisto_tpu.predict.fcn import _host_pack_s2d
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch], pack_l1=True)
+
+    u8 = (np.random.default_rng(11).random((2, 96, 96, 3)) * 255).astype(
+        np.uint8
+    )
+    p8 = jnp.stack([jnp.asarray(_host_pack_s2d(im, pack=8)) for im in u8])
+    for int8_residual in (False, True):
+        qm = QuantizedResNet(
+            qmodel._model, int8_residual=int8_residual, pack_l1=True
+        )
+        plain = QuantizedResNet(qmodel._model, int8_residual=int8_residual)
+        np.testing.assert_array_equal(
+            np.asarray(plain.apply(qvars, jnp.asarray(u8))),
+            np.asarray(qm.apply(qvars, p8, pre_packed="s2d8")),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(
+                plain.apply(qvars, jnp.asarray(u8), features=True), np.float32
+            ),
+            np.asarray(
+                qm.apply(qvars, p8, pre_packed="s2d8", features=True),
+                np.float32,
+            ),
+        )
+
+
+def test_s2d8_requires_pack_l1(batch):
+    """pre_packed="s2d8" only has meaning for the pack_l1 trunk (the packed
+    stem produces pack_A); reject it loudly otherwise."""
+    from deephisto_tpu.models.quantize import QuantizedResNet
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+    with pytest.raises(ValueError, match="pack_l1"):
+        qmodel.apply(qvars, jnp.zeros((1, 8, 8, 192)), pre_packed="s2d8")
+
+
 @pytest.mark.slow  # ~32s of fcn-program compiles; the pack_l1 invariant is
 # covered fast by test_pack_l1_bit_exact + test_quantized_fcn_mode
 def test_pack_l1_through_fcn_predict(batch):
@@ -233,6 +282,18 @@ def test_pack_l1_through_fcn_predict(batch):
     )
     np.testing.assert_array_equal(am_q, am_p)
     np.testing.assert_array_equal(np.asarray(sc_q), np.asarray(sc_p))
+
+    # pack=8 staging (the s2d8 packed-stem program — the bench.py headline
+    # configuration) is bit-identical to the raw-image call too
+    from deephisto_tpu.predict.fcn import stage_for_fcn
+
+    staged8 = stage_for_fcn(img, tile=192, halo=32, pack=8)
+    am_8, sc_8 = predict_full_fcn(
+        staged8, pmodel, pvars, n_classes=5, patch_size=64, downscale=16,
+        tile=192, halo=32,
+    )
+    np.testing.assert_array_equal(am_q, am_8)
+    np.testing.assert_array_equal(np.asarray(sc_q), np.asarray(sc_8))
 
 
 def test_pack_l1_rejects_bottleneck():
