@@ -5,8 +5,9 @@ The v5e MXU executes s8×s8→s32 at twice its bf16 rate. Measured end-to-end
 (benchmarks/int8_quantized_speed.py, round 3): the exact fused dense predict
 runs ResNet-18 at 28.4k patches/s vs 23.9k bf16 (+19%) and ResNet-50 at
 13.0k vs 10.6k (+23%) on one v5e chip (b256, 8192² slide); through the
-overlap-free fcn mode the same quantized model records **39.6k** equivalent
-patches/s (benchmarks/fcn_bench_tpu.jsonl). Accuracy on the trained demo
+overlap-free fcn mode the same quantized model (pack_l1 + the s2d8 packed
+stem) records **123.3k** equivalent patches/s on a 16384² slide
+(benchmarks/README.md round-3 sessions 3-6). Accuracy on the trained demo
 checkpoint (round-3 defaults): int8 top-1 == float top-1 on all 900 test
 patches AND 100% argmax class-map agreement (0 flips in 4096 cells,
 benchmarks/int8_accuracy_tpu.jsonl). The

@@ -383,9 +383,10 @@ def predict_full_fcn(
     closer to patch behavior — benchmarks/fcn_agreement_tpu.jsonl) and is
     ~5-9% faster; serving deployments should prefer it unless the model was
     context-trained with larger real context. Measured headline (16384²
-    slide, staged, int8 pack_l1): 78.3k equivalent patches/s ResNet-18,
-    41.0k ResNet-50 (tb8 is r50's optimum) — benchmarks/README.md round-3
-    session-5. For slides beyond the HBM budget use
+    slide, pack=8 staged, int8 pack_l1 + s2d8 stem): 123.3k equivalent
+    patches/s ResNet-18, 41.0k ResNet-50 (tb8 is r50's optimum) —
+    benchmarks/README.md round-3 sessions 5-6. For slides beyond the HBM
+    budget use
     :func:`deephisto_tpu.predict.predict_full_fcn_streamed` (bit-identical).
     """
     check_uint8_classes(n_classes)
