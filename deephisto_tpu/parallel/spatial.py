@@ -117,8 +117,24 @@ def predict_full_fcn_spatial(
         mode="edge",
     )
     band_rows = ty_per * tile + 2 * halo
+    # stage bands space-to-depth-packed for s2d-stem models, exactly like the
+    # single-chip staged path (fcn.stage_for_fcn): pack ONCE on the host (it
+    # rides ingest), slice tiles in packed units — no per-tile relayout.
+    # pack_l1 quantized models take the 8x8 "s2d8" representation whose stem
+    # conv emits pack_A directly (models/quantize.py).
+    pre_packed = getattr(model, "stem", None) == "s2d"
+    pk = 1
+    if pre_packed:
+        from ..predict.fcn import _host_pack_s2d
+
+        if getattr(model, "pack_l1", False):
+            pre_packed, pk = "s2d8", 8
+        else:
+            pk = 4
+        padded = _host_pack_s2d(padded, pack=pk)
     bands = np.stack(
-        [padded[i * ty_per * tile : i * ty_per * tile + band_rows]
+        [padded[(i * ty_per * tile) // pk :
+                (i * ty_per * tile + band_rows) // pk]
          for i in range(n_dev)]
     )
     bands_dev = jax.device_put(
@@ -156,15 +172,19 @@ def predict_full_fcn_spatial(
                 def slice_one(t):
                     return jax.lax.dynamic_slice(
                         band_img,
-                        ((t // tx) * tile, (t % tx) * tile, 0),
-                        (tile + 2 * halo, tile + 2 * halo, 3),
+                        ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
+                        ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
+                         band_img.shape[-1]),
                     )
 
                 xin = jax.vmap(slice_one)(idxs)
                 # shared per-tile body (fcn.tile_logits): backbone features,
                 # halo crop, fc projection inside the scan — bit-identical
                 # to the single-chip fcn program by construction
-                return None, tile_logits(model, variables, xin, hh, ft, fc_kernel)
+                return None, tile_logits(
+                    model, variables, xin, hh, ft, fc_kernel,
+                    pre_packed=pre_packed,
+                )
 
             _, tiles_l = jax.lax.scan(tile_step, None, idx)
             nc = tiles_l.shape[-1]

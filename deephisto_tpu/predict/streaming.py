@@ -214,10 +214,11 @@ def _make_fcn_stripe_program(
     def program(stripe_img, tail, variables):
         hh = halo // fs
 
-        # pre_packed: stripes arrive host-packed in 4x4 s2d form (the pack
-        # rides the staging thread, hiding behind upload I/O) and tiles are
-        # sliced in packed units — fcn.py s2d_pack_image for the rationale
-        pk = 4 if pre_packed else 1
+        # pre_packed: stripes arrive host-packed in 4x4 (True) or 8x8
+        # ("s2d8", pack_l1 models — the packed-stem representation) s2d form
+        # (the pack rides the staging thread, hiding behind upload I/O) and
+        # tiles are sliced in packed units — fcn.py s2d_pack_image rationale
+        pk = {False: 1, True: 4, "s2d8": 8}[pre_packed]
 
         def tile_step(_, idxs):
             def slice_one(t):
@@ -334,6 +335,11 @@ def predict_full_fcn_streamed(
     mh, mw = h // downscale, w // downscale
 
     pre_packed = getattr(model, "stem", None) == "s2d"
+    if pre_packed and getattr(model, "pack_l1", False):
+        # pack_l1 quantized models take the 8x8-packed stripes whose stem
+        # conv emits pack_A directly (models/quantize.py pre_packed="s2d8")
+        # — the same representation the resident headline program uses
+        pre_packed = "s2d8"
 
     def stage(k):
         """Slice stripe k's rows [y0-halo, y0+own+halo) with edge replication
@@ -352,10 +358,9 @@ def predict_full_fcn_streamed(
             rows, ((top, max(0, bot)), (halo, wp - w + halo), (0, 0)), mode="edge"
         )
         if pre_packed:
-            sh, sw, sc = rows.shape
-            rows = np.ascontiguousarray(
-                rows.reshape(sh // 4, 4, sw // 4, 4, sc).transpose(0, 2, 1, 3, 4)
-            ).reshape(sh // 4, sw // 4, 16 * sc)
+            from .fcn import _host_pack_s2d
+
+            rows = _host_pack_s2d(rows, pack=8 if pre_packed == "s2d8" else 4)
         return jax.device_put(rows)
 
     program = _make_fcn_stripe_program(

@@ -246,6 +246,20 @@ def test_fcn_streamed_int8_composes(small_model, image):
     )
     np.testing.assert_array_equal(am_r, am_s)
 
+    # pack_l1 models stream as s2d8 stripes (the packed-stem representation,
+    # streaming.py) — still bit-identical to the resident program
+    pmodel, pvars = quantize_resnet(model, variables, calib, pack_l1=True)
+    am_p, _ = predict_full_fcn_streamed(
+        image, pmodel, pvars, 5, patch_size=PS, downscale=D, stripe_rows=64,
+        tile=64, halo=32, tile_batch=1,
+    )
+    am_pr, _ = predict_full_fcn(
+        image, pmodel, pvars, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=1,
+    )
+    np.testing.assert_array_equal(am_pr, am_p)
+    np.testing.assert_array_equal(am_r, am_p)
+
 
 def test_class_maps_are_uint8(small_model, image):
     """The class-map wire contract: every predict path emits uint8 argmax

@@ -246,3 +246,18 @@ def test_fcn_spatial_matches_single_chip(n_dev):
     np.testing.assert_allclose(
         np.asarray(s_single), np.asarray(s_multi), rtol=1e-5, atol=1e-5
     )
+
+    # the int8 pack_l1 serving model bands as s2d8 (packed-stem) blocks —
+    # the headline single-chip representation, sharded; still bit-identical
+    from deephisto_tpu.models.quantize import quantize_resnet
+
+    calib = [np.random.default_rng(5).random((4, ps, ps, 3)).astype(np.float32)]
+    qmodel, qvars = quantize_resnet(model, variables, calib, pack_l1=True)
+    am_qs, s_qs = predict_full_fcn(img, qmodel, qvars, **kw)
+    am_qm, s_qm = predict_full_fcn_spatial(
+        img, qmodel, qvars, mesh=mesh, **kw
+    )
+    np.testing.assert_array_equal(am_qs, am_qm)
+    np.testing.assert_allclose(
+        np.asarray(s_qs), np.asarray(s_qm), rtol=1e-5, atol=1e-5
+    )
