@@ -241,12 +241,21 @@ def _embed_kernel(k, kind):
     3x3), "a2x_1x1" (pack_A in, cropped to n/2 → stride-2 unpacked 1x1, the
     downsample conv). Pure relocation + zero fill — exact in any dtype.
 
-    The tap offset dy is relative to the output pixel; a SAME conv's valid
-    taps are dy ∈ [-lo, kh-1-lo] with lo = (kh-1)//2 (XLA SAME pads
-    (lo, kh-1-lo)) — kh=3 gives the symmetric {-1,0,1}, kh=2 (the s2d stem
-    conv, resnet.py) the asymmetric {0,1}."""
+    The tap offset dy is relative to the output pixel and the valid window
+    is XLA SAME's, which depends on STRIDE: pad_total = (out-1)·s + kh - n,
+    lo = pad_total//2. Stride 1: kh=3 → lo=1, taps {-1,0,1}; kh=2 (the s2d
+    stem conv) → lo=0, taps {0,1}. Stride 2 on EVEN n (a2x, the stage-2
+    entry, guaranteed even by the pack_l1 extent check): pad_total=1 →
+    lo=0, taps {0,1,2} — NOT the torch-style centered {-1,0,1}; getting
+    this wrong is invisible to freshly-initialized parity tests (zero-init
+    bn2/bn3 makes every block's conv path constant) but wrong on trained
+    weights — tests/test_quantize.py randomizes BN scales for exactly this
+    reason."""
     kh, kw, ci, co = k.shape
-    lo_y, lo_x = (kh - 1) // 2, (kw - 1) // 2
+    if kind == "a2x":  # stride-2, even extent: SAME pads (0, 1)
+        lo_y = lo_x = 0
+    else:  # stride-1: SAME pads ((kh-1)//2, kh//2)
+        lo_y, lo_x = (kh - 1) // 2, (kw - 1) // 2
     pack_out = kind in ("a2b", "b2a")
     if kind == "a2x_1x1":
         K = jnp.zeros((1, 1, 4 * ci, co), k.dtype)

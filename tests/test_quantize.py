@@ -26,6 +26,29 @@ def batch():
     return rng.random((4, 64, 64, 3)).astype(np.float32)
 
 
+def randomize_variables(variables, seed=42):
+    """Replace every leaf with random values (positive for the 1-D BN
+    scale/bias/mean/var leaves). Freshly-initialized flax ResNets have
+    bn2/bn3 scales ZERO-INIT, which makes every residual block's conv path
+    a constant — parity tests on raw init are blind to conv tap alignment
+    (that blindness hid a wrong stride-2 SAME window in the packed stage-2
+    entry; quantize.py _embed_kernel docstring). Parity tests must run on
+    non-degenerate weights."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(variables)
+    r = np.random.default_rng(seed)
+    leaves = [
+        jnp.asarray(
+            np.abs(r.normal(0.5, 0.3, l.shape)) if l.ndim == 1
+            else r.normal(0.0, 0.5, l.shape),
+            jnp.float32,
+        )
+        for l in leaves
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 @pytest.mark.parametrize("depth,stem", CONFIGS)
 def test_bn_folding_exact(depth, stem, batch):
     """BN folds into the conv exactly: the folded-float forward equals the
@@ -186,7 +209,7 @@ def test_pack_l1_bit_exact(batch):
     from deephisto_tpu.models.quantize import QuantizedResNet
 
     model = get_model(5, depth=18, stem="s2d")
-    variables = init_model(model, input_size=64, pretrained=False)
+    variables = randomize_variables(init_model(model, input_size=64, pretrained=False))
     qmodel, qvars = quantize_resnet(model, variables, [batch])
 
     u8 = (np.random.default_rng(7).random((2, 96, 96, 3)) * 255).astype(np.uint8)
@@ -219,7 +242,7 @@ def test_s2d8_packed_stem_bit_exact(batch):
     from deephisto_tpu.predict.fcn import _host_pack_s2d
 
     model = get_model(5, depth=18, stem="s2d")
-    variables = init_model(model, input_size=64, pretrained=False)
+    variables = randomize_variables(init_model(model, input_size=64, pretrained=False))
     qmodel, qvars = quantize_resnet(model, variables, [batch], pack_l1=True)
 
     u8 = (np.random.default_rng(11).random((2, 96, 96, 3)) * 255).astype(
@@ -267,7 +290,7 @@ def test_pack_l1_through_fcn_predict(batch):
     from deephisto_tpu.predict import predict_full_fcn
 
     model = get_model(5, depth=18, stem="s2d")
-    variables = init_model(model, input_size=64, pretrained=False)
+    variables = randomize_variables(init_model(model, input_size=64, pretrained=False))
     qmodel, qvars = quantize_resnet(model, variables, [batch])
     pmodel, pvars = quantize_resnet(model, variables, [batch], pack_l1=True)
 
