@@ -348,6 +348,20 @@ def calibrate(model, variables, batches):
 # ---------------------------------------------------------------------------
 
 
+def supports_pack_l1(model) -> bool:
+    """Whether ``pack_l1`` applies: a BasicBlock ResNet with >=2 stages (the
+    packed stage-1 chain exits through the stage-2 entry convs). Bottleneck
+    (r50/r101) is measured-negative territory: the SAME-aligned a2a 3x3
+    costs 4x MACs for ~0.64x the unpacked rate and the one-3x3-per-block
+    topology forces per-block residual relayouts
+    (benchmarks/fcn_r50_l1_primitives_tpu.jsonl)."""
+    from .resnet import BasicBlock
+
+    bc = getattr(model, "block_cls", None)
+    basic = bc is BasicBlock or getattr(bc, "func", None) is BasicBlock
+    return basic and len(getattr(model, "stage_sizes", ())) >= 2
+
+
 class QuantizedResNet:
     """``.apply``-compatible int8 ResNet; construct via :func:`quantize_resnet`.
 
@@ -384,17 +398,11 @@ class QuantizedResNet:
         self._model = model  # topology source (stem/stage_sizes/block_cls)
         self.int8_residual = int8_residual
         self.pack_l1 = pack_l1
-        if pack_l1:
-            from .resnet import BasicBlock
-
-            basic = model.block_cls is BasicBlock or getattr(
-                model.block_cls, "func", None
-            ) is BasicBlock
-            if not basic or len(model.stage_sizes) < 2:
-                raise ValueError(
-                    "pack_l1 requires a BasicBlock ResNet with >=2 stages "
-                    "(the packed chain exits through the stage-2 entry convs)"
-                )
+        if pack_l1 and not supports_pack_l1(model):
+            raise ValueError(
+                "pack_l1 requires a BasicBlock ResNet with >=2 stages "
+                "(the packed chain exits through the stage-2 entry convs)"
+            )
 
     # hashability: fcn's program cache keys on the model object
     def __hash__(self):

@@ -172,9 +172,14 @@ class ServingEngine:
                 self.qmodel_fcn = self.qvars_fcn = None
             else:
                 # pack_l1 wins at fcn tile extents, loses at 224-patch
-                # extents (CLAUDE.md session-3) — keep one of each
+                # extents (CLAUDE.md session-3) — keep one of each.
+                # Bottleneck ResNets (r50/r101) don't support (or profit
+                # from) the packed stage 1 — serve them unpacked.
+                from ..models.quantize import supports_pack_l1
+
                 self.qmodel_fcn, self.qvars_fcn = quantize_resnet(
-                    model, variables, batches, pack_l1=True
+                    model, variables, batches,
+                    pack_l1=supports_pack_l1(model),
                 )
                 self.qmodel, self.qvars = quantize_resnet(model, variables, batches)
         else:
@@ -323,10 +328,21 @@ class ServingEngine:
 
         if self.is_vit:
             raise ValueError("staging is the fcn-mode fast path; ViT has none")
+        fcn_model, _ = self._model_for("fcn")
+        if getattr(fcn_model, "stem", None) != "s2d":
+            raise ValueError(
+                "staging requires an s2d-stem ResNet (FcnStagedSlide is the "
+                "s2d-packed representation; predict the slide directly instead)"
+            )
+        # pack_l1 models consume the pack=8 ("s2d8") staging — the headline
+        # serving path: the stem conv emits pack_A with no relayout
+        pack = 8 if getattr(fcn_model, "pack_l1", False) else 4
         image = np.asarray(image)
         with self._lock:
             self._requests += 1
-            staged = stage_for_fcn(image, tile=self.tile, halo=self.halo)
+            staged = stage_for_fcn(
+                image, tile=self.tile, halo=self.halo, pack=pack
+            )
             self._staged[key] = staged
             self._staged.move_to_end(key)
             while len(self._staged) > self._max_staged:

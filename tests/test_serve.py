@@ -405,6 +405,63 @@ def test_int8_engine_fcn(model_vars, cfg, image):
     assert amap2.dtype == np.uint8
 
 
+def test_int8_engine_stages_pack8(model_vars, cfg, image):
+    # pack_l1-quantized fcn serving consumes the pack=8 ("s2d8") staging —
+    # the headline path; staged and unstaged maps must agree bit-exactly
+    model, variables = model_vars
+    calib = np.random.default_rng(0).integers(
+        0, 255, (8, PS, PS, 3), dtype=np.uint8
+    )
+    eng = ServingEngine(model, variables, cfg, int8=True, calib=calib, **FCN)
+    assert eng.qmodel_fcn.pack_l1 is True
+    eng.stage_slide("p8", image)
+    assert eng._staged["p8"].pack == 8
+    amap_staged, _ = eng.predict_slide(key="p8", mode="fcn")
+    amap, _ = eng.predict_slide(image, mode="fcn")
+    np.testing.assert_array_equal(amap_staged, amap)
+
+
+def test_int8_engine_bottleneck_skips_pack_l1(cfg, image):
+    # r50-family (Bottleneck) has no packed stage 1 — int8 serving must not
+    # crash at init (it did: pack_l1=True unconditionally) and must serve
+    # fcn unpacked, staging at pack=4
+    from deephisto_tpu.models.resnet import Bottleneck
+
+    model = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck, num_classes=NC,
+        num_filters=8, stem="s2d",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    calib = np.random.default_rng(0).integers(
+        0, 255, (4, PS, PS, 3), dtype=np.uint8
+    )
+    eng = ServingEngine(model, variables, cfg, int8=True, calib=calib, **FCN)
+    assert eng.qmodel_fcn.pack_l1 is False
+    eng.stage_slide("b", image)
+    assert eng._staged["b"].pack == 4
+    amap_staged, _ = eng.predict_slide(key="b", mode="fcn")
+    amap, meta = eng.predict_slide(image, mode="fcn")
+    assert meta["int8"] is True
+    np.testing.assert_array_equal(amap_staged, amap)
+
+
+def test_stage_requires_s2d_stem(cfg, image):
+    # a standard-stem model cannot consume the s2d-packed staging — the
+    # engine must refuse loudly at stage time, not fail inside predict
+    model = ResNet(
+        stage_sizes=(1, 1, 1, 1), block_cls=BasicBlock, num_classes=NC,
+        num_filters=8, stem="imagenet",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, PS, PS, 3)))
+    icfg = {"model": {"n_classes": NC, "depth": 18, "stem": "imagenet"},
+            "dataset": {"patch_size": PS}}
+    eng = ServingEngine(model, variables, icfg, **FCN)
+    with pytest.raises(ValueError, match="s2d"):
+        eng.stage_slide("k", image)
+    amap, _ = eng.predict_slide(image, mode="fcn")  # unstaged path still fine
+    assert amap.dtype == np.uint8
+
+
 def test_vit_engine_falls_back_to_dense(image):
     from deephisto_tpu.models.vit import ViT
 
