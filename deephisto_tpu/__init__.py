@@ -41,23 +41,33 @@ def _enable_compilation_cache() -> None:
         platform = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
         suffix = platform
         if platform == "cpu":
-            # CPU AOT executables bake in the compile host's ISA features;
-            # sessions land on heterogeneous VMs, and loading another host's
-            # artifact risks SIGILL (observed: avx512/amx feature mismatch
-            # warnings from cpu_aot_loader). Salt the dir per CPU type.
+            # CPU AOT executables bake in the compile host's ISA AND model
+            # tuning features (+prefer-no-gather etc.) that /proc/cpuinfo
+            # flags alone don't capture; loading another host's artifact
+            # risks SIGILL (observed: avx512/amx mismatch warnings from
+            # cpu_aot_loader even with flags-salted dirs, MULTICHIP_r03).
+            # Salt v2: hash flags + model name + microcode, and purge the
+            # pre-v2 generations so stale cross-VM artifacts never load.
             try:
                 import hashlib
 
                 with open("/proc/cpuinfo") as f:
-                    flags = next(
-                        (ln for ln in f if ln.startswith("flags")), "")
-                suffix += "_" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+                    keys = ("flags", "model name", "microcode")
+                    ident = "".join(ln for ln in f if ln.startswith(keys))
+                suffix += "_v2_" + hashlib.sha1(ident.encode()).hexdigest()[:8]
             except OSError:
                 pass
+        base = os.path.expanduser("~/.cache/deephisto_tpu")
         cache_dir = os.environ.get(
-            "DEEPHISTO_COMPILE_CACHE",
-            os.path.expanduser(f"~/.cache/deephisto_tpu/jax_cache_{suffix}"),
+            "DEEPHISTO_COMPILE_CACHE", os.path.join(base, f"jax_cache_{suffix}")
         )
+        if platform == "cpu":
+            import glob
+            import shutil
+
+            for stale in glob.glob(os.path.join(base, "jax_cache_cpu*")):
+                if os.path.abspath(stale) != os.path.abspath(cache_dir):
+                    shutil.rmtree(stale, ignore_errors=True)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

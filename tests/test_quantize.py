@@ -232,6 +232,39 @@ def test_pack_l1_bit_exact(batch):
         )
 
 
+def test_pack_l1_bit_exact_imagenet_stem(batch):
+    """pack_l1 with the IMAGENET stem (stride-2 conv + maxpool): the packed
+    stage-1 chain only sees post-stem activations, so the bit-exactness
+    invariant must hold for either stem. This is the path an int8
+    ServingEngine takes for an unstaged fcn predict over an imagenet-stem
+    checkpoint (ADVICE round 3: previously untested — all other pack_l1
+    coverage uses the s2d stem)."""
+    from deephisto_tpu.models.quantize import QuantizedResNet
+
+    model = get_model(5, depth=18, stem="imagenet")
+    variables = randomize_variables(
+        init_model(model, input_size=64, pretrained=False)
+    )
+    qmodel, qvars = quantize_resnet(model, variables, [batch], pack_l1=True)
+
+    u8 = (np.random.default_rng(13).random((2, 96, 96, 3)) * 255).astype(
+        np.uint8
+    )
+    plain = QuantizedResNet(qmodel._model)
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(qvars, jnp.asarray(u8))),
+        np.asarray(qmodel.apply(qvars, jnp.asarray(u8))),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            plain.apply(qvars, jnp.asarray(u8), features=True), np.float32
+        ),
+        np.asarray(
+            qmodel.apply(qvars, jnp.asarray(u8), features=True), np.float32
+        ),
+    )
+
+
 def test_s2d8_packed_stem_bit_exact(batch):
     """pre_packed="s2d8" (the 8x8-packed input whose stem conv runs as an
     embedded b2a conv and emits pack_A directly — quantize.py apply
