@@ -43,15 +43,17 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def ground_truth_map(anno_path, mh, mw, layer, downscale=16):
+def ground_truth_map(anno_path, mh, mw, layer, classes, downscale=16):
+    """GT class map at the predictor's downscale. `classes` MUST be the
+    training sampler's dataset-wide sorted class list — per-slide sorting
+    would shift indices on slides missing a class."""
     from deephisto_tpu.slide.synthetic import rasterize_polygon_mask
 
     regions = json.loads(Path(anno_path).read_text())
-    names = sorted({r["class"] for r in regions})
     gt = np.full((mh, mw), -1, np.int32)
     for r in regions:
         verts = np.asarray(r["vertices"], np.float64) / (layer * downscale)
-        gt[rasterize_polygon_mask(verts, mh, mw)] = names.index(r["class"])
+        gt[rasterize_polygon_mask(verts, mh, mw)] = classes.index(r["class"])
     return gt
 
 
@@ -209,7 +211,10 @@ def main():
                 image, model, variables, n_classes=5, patch_size=224,
                 stride=112, batch_size=256,
             )
-            gt = ground_truth_map(anno_path, *am_exact.shape, layer=args.layer)
+            gt = ground_truth_map(
+                anno_path, *am_exact.shape, layer=args.layer,
+                classes=train_sampler.classes,
+            )
             ann = gt >= 0
             acc_exact = float((np.asarray(am_exact) == gt)[ann].mean())
             row = {

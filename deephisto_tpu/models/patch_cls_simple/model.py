@@ -20,6 +20,7 @@ def get_model(
     stem: str = "imagenet",
     arch: str = "resnet",
     width: int = 1,
+    patch: int = 16,
 ):
     """Classifier backbone with an ``n_classes`` head.
 
@@ -28,7 +29,9 @@ def get_model(
     ``width`` multiplies channel counts (width=2 fills the 128-lane MXU that
     64-channel stages leave half-idle).
     arch="vit": compact Vision Transformer whose attention runs through the
-    Pallas flash-attention kernel on TPU (depth selects transformer depth).
+    Pallas flash-attention kernel on TPU (depth selects transformer depth;
+    ``patch`` sets the token size, ``stem="conv"`` opts into the
+    convolutional embedding — models/vit.py).
     """
     if arch == "vit":
         from ...models.vit import ViT
@@ -38,7 +41,11 @@ def get_model(
                 f"arch='vit' supports depth 1..12 transformer blocks, got "
                 f"{depth}; set model.depth explicitly for ViT configs"
             )
-        return ViT(num_classes=n_classes, depth=depth, dtype=dtype)
+        vit_stem = "linear" if stem == "imagenet" else stem
+        return ViT(
+            num_classes=n_classes, depth=depth, dtype=dtype,
+            patch=patch, stem=vit_stem,
+        )
     return build_resnet(
         num_classes=n_classes, depth=depth, dtype=dtype, stem=stem, width=width
     )

@@ -77,7 +77,16 @@ def prepare_test_patches(cfg):
     )
 
 
-def make_fused_epoch(model, sample_source, batch_size, n_steps, mesh=None, augment=True):
+def make_fused_epoch(
+    model,
+    sample_source,
+    batch_size,
+    n_steps,
+    mesh=None,
+    augment=True,
+    crop_pad=0,
+    label_smoothing=0.0,
+):
     """The TPU-native training epoch: sampling + augmentation + forward/
     backward + update for ``n_steps`` steps fused into ONE device program
     (``lax.scan``), so the host (and any dispatch-latency tunnel) is touched
@@ -87,18 +96,39 @@ def make_fused_epoch(model, sample_source, batch_size, n_steps, mesh=None, augme
     multi-magnification sampler). A ``ContextWindowModel`` (``model.context``
     > 0) gets context windows from the sampler automatically. Returns
     ``epoch_fn(state, key) -> (state, losses, corrects)``.
+
+    ``crop_pad > 0`` adds random-crop augmentation (the standard translation
+    augmentation the reference lacks; key to from-scratch ViT training):
+    the sampler gathers ``patch_size + 2*crop_pad`` windows and each sample
+    is cropped back to ``patch_size`` at a uniform per-sample offset. The
+    label is still the center patch's (the crop shifts by at most crop_pad).
+    Incompatible with a ContextWindowModel (both repurpose the context
+    gather). ``label_smoothing`` is forwarded to the CE loss.
     """
+    model_ctx = getattr(model, "context", 0)
+    if crop_pad and model_ctx:
+        raise ValueError("crop_pad augmentation and a ContextWindowModel both "
+                         "repurpose the context gather; use one or the other")
     if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
         sample_fn = sample_source
     else:
         sample_fn = sample_source.make_sample_fn(
-            batch_size, context=getattr(model, "context", 0)
+            batch_size, context=model_ctx + crop_pad
         )
     data_sharding = batch_sharding(mesh) if mesh is not None else None
 
     def body(state, k):
         k_sample, k_aug = jax.random.split(k)
         patches, labels, _, _ = sample_fn(k_sample)
+        if crop_pad:
+            kc, k_aug = jax.random.split(k_aug)
+            size = patches.shape[1] - 2 * crop_pad
+            offs = jax.random.randint(kc, (patches.shape[0], 2), 0, 2 * crop_pad + 1)
+            patches = jax.vmap(
+                lambda img, o: jax.lax.dynamic_slice(
+                    img, (o[0], o[1], 0), (size, size, img.shape[-1])
+                )
+            )(patches, offs)
         x = patches.astype(jnp.float32) / 255.0
         if augment:
             kh, kv = jax.random.split(k_aug)
@@ -115,7 +145,8 @@ def make_fused_epoch(model, sample_source, batch_size, n_steps, mesh=None, augme
                 train=True,
                 mutable=["batch_stats"],
             )
-            return cross_entropy_loss(logits, labels), (logits, updates)
+            loss = cross_entropy_loss(logits, labels, label_smoothing)
+            return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

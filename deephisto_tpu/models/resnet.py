@@ -91,11 +91,18 @@ class ResNet(nn.Module):
         train: bool = False,
         features: bool = False,
         pre_packed: bool = False,
+        up_to: str | None = None,
     ):
         """features=True returns the pre-GAP stride-32 feature map (NHWC) —
         the fully-convolutional surface behind predict/fcn.py's overlap-free
         whole-slide mode. Initialize with features=False so the fc params
         exist; apply with features=True ignores them.
+
+        up_to cuts the network after a named boundary and returns the live
+        tensor there — a measurement hook for stage isolation (same names as
+        QuantizedResNet.apply: "stem", "layer1".."layer4"; used by
+        benchmarks/train_profile.py for per-stage fwd+bwd differentials),
+        not a serving surface.
 
         pre_packed=True (s2d stem only): ``x`` is already the 4x4
         space-to-depth representation, (B, H/4, W/4, 48). The predict
@@ -131,6 +138,8 @@ class ResNet(nn.Module):
             x = norm(name="bn1")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if up_to == "stem":
+            return x
 
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
@@ -142,6 +151,8 @@ class ResNet(nn.Module):
                     norm=norm,
                     name=f"layer{i + 1}_{j}",
                 )(x)
+            if up_to == f"layer{i + 1}":
+                return x
 
         if features:
             return x

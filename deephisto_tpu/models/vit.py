@@ -148,7 +148,17 @@ class Block(nn.Module):
 
 
 class ViT(nn.Module):
-    """Compact ViT for patch classification."""
+    """Compact ViT for patch classification.
+
+    stem="linear" is the classic patchify embedding (one patch×patch conv —
+    the round-3 recipe and the surface the TP/PP/quantize paths assume).
+    stem="conv" replaces it with log2(patch) 3×3 stride-2 conv+BN+relu layers
+    and a 1×1 projection ("Early convolutions help transformers see better",
+    Xiao et al. 2021) — same token grid, much better from-scratch optimization
+    on small datasets (the round-3 ViT plateaued at 0.47 sustained on the
+    hard regime vs r18's 0.72; see benchmarks/vit_recipe.py). Opt-in: tensor/
+    pipeline parallel and W8A8 serving keep assuming "linear".
+    """
 
     num_classes: int
     patch: int = 16
@@ -156,17 +166,34 @@ class ViT(nn.Module):
     depth: int = 6
     heads: int = 6
     dtype: Any = jnp.bfloat16
+    stem: str = "linear"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.dim,
-            (self.patch, self.patch),
-            (self.patch, self.patch),
-            dtype=self.dtype,
-            name="embed",
-        )(x)
+        if self.stem == "conv":
+            n_down = self.patch.bit_length() - 1
+            assert 1 << n_down == self.patch, "conv stem needs power-of-2 patch"
+            for i in range(n_down):
+                ch = max(self.dim >> (n_down - 1 - i), 32)
+                x = nn.Conv(
+                    ch, (3, 3), (2, 2), use_bias=False, dtype=self.dtype,
+                    name=f"stem_conv{i}",
+                )(x)
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name=f"stem_bn{i}",
+                )(x)
+                x = nn.relu(x)
+            x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="embed")(x)
+        else:
+            x = nn.Conv(
+                self.dim,
+                (self.patch, self.patch),
+                (self.patch, self.patch),
+                dtype=self.dtype,
+                name="embed",
+            )(x)
         b, gh, gw, d = x.shape
         x = x.reshape(b, gh * gw, d)
         pos = self.param(

@@ -124,6 +124,7 @@ def test_sharded_context_train_step_matches_single_device():
     np.testing.assert_allclose(single, multi, rtol=2e-4)
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~48s; the driver runs dryrun_multichip directly as the MULTICHIP artifact
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

@@ -68,6 +68,7 @@ def test_make_pp_mesh_shapes():
         make_pp_mesh(jax.devices()[:6], stages=4)
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~13s; trajectory parity (fast) subsumes the eval forward
 def test_pipeline_eval_matches_plain_forward():
     model = _tiny_vit()
     variables = _init(model)
@@ -123,6 +124,7 @@ def test_pipeline_train_trajectory_matches_single_device():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~13s; stage-count coverage, 4-stage trajectory test stays fast
 def test_pipeline_two_stage_mesh():
     """Stage count is a free choice: (data=4, stage=2) works too."""
     model = _tiny_vit()

@@ -25,6 +25,7 @@ def vit_setup():
     return model, variables, batch
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~18s; subsumed fast by test_quantized_logits_track_float
 def test_float_walk_matches_flax_forward(vit_setup):
     """The calibration forward (quantize_vit._float_forward) must be the same
     network as vit.py's flax module — else the recorded scales calibrate a

@@ -99,6 +99,7 @@ def test_rnd_sampler_forced_class_zero(rnd_sampler):
             assert cls == 0
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~34s; context gather covered fast by test_context_window_model_matches_center_classification
 def test_rnd_sampler_context_windows(rnd_sampler):
     """make_sample_fn(context=c): identical sampling stream (labels/coords)
     to the bare-patch path, but the gathered pixels are the patch + its real

@@ -421,6 +421,7 @@ def test_int8_engine_stages_pack8(model_vars, cfg, image):
     np.testing.assert_array_equal(amap_staged, amap)
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~26s engine build; the pack_l1 gating logic is also unit-covered
 def test_int8_engine_bottleneck_skips_pack_l1(cfg, image):
     # r50-family (Bottleneck) has no packed stage 1 — int8 serving must not
     # crash at init (it did: pack_l1=True unconditionally) and must serve

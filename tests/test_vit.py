@@ -108,6 +108,7 @@ def test_flash_kernel_padded_segment_ids_matches_fallback():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): ~32s of predict compiles; ViT forward/attention stay fast
 def test_fused_predict_paths_accept_bn_free_models():
     """predict_full_fused / predict_full_random_fused / batch_predictor must
     run models without a batch_stats collection (ViT has no BatchNorm) — the
