@@ -33,6 +33,17 @@ CONFIGS = {
     "r34": dict(depth=34, width=1, arch="resnet"),
     "r50": dict(depth=50, width=1, arch="resnet"),
     "vit": dict(depth=6, width=1, arch="vit"),
+    # round-4 ViT recipe arms (VERDICT r3 item 3: the bare ViT-S/16 plateaued
+    # at 0.47 sustained). v2 = conv stem + random-crop + label smoothing;
+    # p8 additionally halves the token size (784 tokens — the tuned flash
+    # kernel's regime). Ablations isolate the stem vs the augmentation.
+    "vit2": dict(depth=6, arch="vit", stem="conv", crop=16, ls=0.1),
+    "vit2p8": dict(depth=6, arch="vit", stem="conv", patch=8, crop=16, ls=0.1),
+    "vit_aug": dict(depth=6, arch="vit", crop=16, ls=0.1),
+    "vit_stem": dict(depth=6, arch="vit", stem="conv"),
+    # r18 + crop control: is the crop augmentation itself worth anything on
+    # the hard regime independent of architecture?
+    "r18crop": dict(depth=18, width=1, arch="resnet", crop=16),
 }
 
 
@@ -62,7 +73,12 @@ def main():
     out_path = Path(__file__).parent / (
         f"time_to_accuracy_{jax.default_backend()}.jsonl"
     )
-    rows = []
+
+    def emit(row):
+        # incremental writes: poll the file, not a (buffered) stdout pipe
+        with out_path.open("a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
 
     ds = ensure_synthetic_dataset(
         args.ds, n_train=3, n_test=1, height=3072, width=3072, hard=True, seed=7
@@ -95,7 +111,11 @@ def main():
     for name in args.configs.split(","):
         spec = CONFIGS[name.strip()]
         if spec["arch"] == "vit":
-            model = get_model(5, depth=spec["depth"], arch="vit")
+            model = get_model(
+                5, depth=spec["depth"], arch="vit",
+                patch=spec.get("patch", 16),
+                stem=spec.get("stem", "imagenet"),  # "imagenet"->"linear"
+            )
             lr, wd = 3e-4, 0.05
         else:
             model = get_model(
@@ -105,7 +125,9 @@ def main():
         variables = init_model(model, pretrained=False)
         state = create_train_state(model, variables, lr, weight_decay=wd)
         fused_epoch = make_fused_epoch(
-            model, train_sampler, args.batch, args.steps
+            model, train_sampler, args.batch, args.steps,
+            crop_pad=spec.get("crop", 0),
+            label_smoothing=spec.get("ls", 0.0),
         )
         _, eval_step = make_steps(model)
 
@@ -160,8 +182,7 @@ def main():
                 "sustained_acc": round(sustained, 4),
                 "train_acc": round(float(jnp.sum(corrects)) / (args.steps * args.batch), 4),
             }
-            rows.append(row)
-            print(json.dumps(row), flush=True)
+            emit(row)
             if hit is None and sustained >= args.target:
                 hit = (epoch, wall)
         time_to = {
@@ -182,13 +203,8 @@ def main():
             "wall_s_to_sustained": time_to,
             "batch": args.batch, "steps_per_epoch": args.steps,
         }
-        rows.append(summary)
-        print(json.dumps(summary), flush=True)
+        emit(summary)
         del state, fused_epoch
-
-    with out_path.open("a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
