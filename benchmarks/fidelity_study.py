@@ -35,10 +35,14 @@ import argparse
 import json
 import sys
 import time
+from collections import namedtuple
 from pathlib import Path
-from types import SimpleNamespace
 
 import numpy as np
+
+# pytree-compatible stand-in for a TrainState in eval-only calls (a
+# SimpleNamespace is NOT a pytree — jit rejects it)
+EvalState = namedtuple("EvalState", ["params", "batch_stats"])
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -98,6 +102,8 @@ def main():
     ap.add_argument("--halos", default="32,64")
     ap.add_argument("--tag", default="")
     ap.add_argument("--save_prefix", default="", help="save best ckpts as <prefix>_ctx<N>.msgpack")
+    ap.add_argument("--load_prefix", default="", help="skip training; load "
+                    "<prefix>_ctx<N>.msgpack checkpoints and run the evals")
     args = ap.parse_args()
 
     out_path = Path(__file__).parent / f"fidelity_study_{jax.default_backend()}.jsonl"
@@ -134,8 +140,17 @@ def main():
     def wrap(model, ctx):
         return model if ctx == 0 else ContextWindowModel(model, 224, ctx)
 
-    best_per_arm = {}
-    for ctx in arms:
+    if args.load_prefix:
+        from deephisto_tpu.train import load_model
+
+        best_per_arm = {}
+        for ctx in arms:
+            model = get_model(5, depth=args.depth, stem=args.stem)
+            loaded = load_model(Path(f"{args.load_prefix}_ctx{ctx}.msgpack"))
+            best_per_arm[ctx] = (model, loaded)
+
+    best_per_arm = best_per_arm if args.load_prefix else {}
+    for ctx in [] if args.load_prefix else arms:
         model = get_model(5, depth=args.depth, stem=args.stem)
         variables = init_model(model, input_size=224 + 2 * ctx, pretrained=False)
         tm = wrap(model, ctx)
@@ -187,7 +202,7 @@ def main():
 
     # ---- cross-mode matrix: (train_ctx, eval_ctx) val accuracy ------------
     for ctx, (model, variables) in best_per_arm.items():
-        shim = SimpleNamespace(
+        shim = EvalState(
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
         for ectx in eval_ctxs:

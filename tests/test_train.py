@@ -163,3 +163,55 @@ def test_train_vit_warmup_cosine_end_to_end(tiny_cfg, tmp_path):
     lrs = [float(r["lr"]) for r in rows]
     # epoch 1 ends with the post-step LR for epoch 2 (cosine, below base)
     assert lrs[0] <= cfg["training"]["lr"] * 1.0001
+
+
+def test_label_smoothing_loss():
+    """cross_entropy_loss(label_smoothing=eps): target q = (1-eps)*onehot +
+    eps/K; eps=0 is exactly the plain integer-label CE."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deephisto_tpu.train import cross_entropy_loss
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5], [0.0, 3.0, -2.0]])
+    labels = jnp.asarray([0, 1])
+    eps = 0.3
+    smoothed = float(cross_entropy_loss(logits, labels, label_smoothing=eps))
+    logp = np.asarray(jax.nn.log_softmax(np.asarray(logits), axis=-1))
+    q = np.full((2, 3), eps / 3)
+    q[np.arange(2), np.asarray(labels)] += 1 - eps
+    want = -np.mean((q * logp).sum(1))
+    assert smoothed == pytest.approx(want, rel=1e-5)
+    plain = float(cross_entropy_loss(logits, labels))
+    assert plain == pytest.approx(
+        float(cross_entropy_loss(logits, labels, label_smoothing=0.0)), rel=1e-6
+    )
+
+
+def test_fused_epoch_crop_pad(tiny_cfg):
+    """crop_pad: the epoch gathers (ps+2*pad) windows and crops back to ps —
+    finite losses at the model's own input size — and a ContextWindowModel +
+    crop_pad is rejected (both repurpose the context gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deephisto_tpu.models.patch_cls_simple.context import ContextWindowModel
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.models.patch_cls_simple.train import make_fused_epoch
+    from deephisto_tpu.samplers import AnnoRegionRndSampler
+    from deephisto_tpu.train import create_train_state
+    from deephisto_tpu.utils import get_img_ano_paths
+
+    pairs = get_img_ano_paths(tiny_cfg["dataset"]["folder"], sample="train")
+    sampler = AnnoRegionRndSampler(pairs, patch_size=32, layer=2, verbose=False)
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=32, pretrained=False)
+    state = create_train_state(model, variables, 1e-3)
+    epoch = make_fused_epoch(model, sampler, 4, 2, crop_pad=8)
+    state, losses, corrects = epoch(state, jax.random.key(0))
+    assert losses.shape == (2,) and bool(jnp.isfinite(losses).all())
+
+    with pytest.raises(ValueError, match="crop_pad"):
+        make_fused_epoch(
+            ContextWindowModel(model, 32, 8), sampler, 4, 2, crop_pad=8
+        )
