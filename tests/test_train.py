@@ -168,6 +168,7 @@ def test_train_vit_warmup_cosine_end_to_end(tiny_cfg, tmp_path):
 def test_label_smoothing_loss():
     """cross_entropy_loss(label_smoothing=eps): target q = (1-eps)*onehot +
     eps/K; eps=0 is exactly the plain integer-label CE."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -213,5 +214,5 @@ def test_fused_epoch_crop_pad(tiny_cfg):
 
     with pytest.raises(ValueError, match="crop_pad"):
         make_fused_epoch(
-            ContextWindowModel(model, 32, 8), sampler, 4, 2, crop_pad=8
+            ContextWindowModel(model, 32, 32), sampler, 4, 2, crop_pad=8
         )
