@@ -82,6 +82,13 @@ def main():
 
     model = get_model(5, depth=args.depth, stem=args.stem, width=args.width)
     variables = init_model(model, pretrained=False)
+    # remat twin: identical params (nn.remat is name-transparent), backward
+    # recomputes each block instead of saving activations
+    from deephisto_tpu.models.resnet import build_resnet
+
+    rmodel = build_resnet(
+        5, depth=args.depth, stem=args.stem, width=args.width, remat=True
+    )
     state = create_train_state(model, variables, 1e-3)
     tx = optax.adam(1e-3)
 
@@ -183,6 +190,24 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return (params, opt, stats, acc + loss + grads_scalar(grads)), None
 
+    def body_full_remat(carry, k):
+        params, opt, stats, acc = carry
+        k_s, k_a = jax.random.split(k)
+        patches, labels, _, _ = sample_fn(k_s)
+        x = aug(patches, k_a)
+
+        def loss_fn(p):
+            logits, upd = rmodel.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return cross_entropy_loss(logits, labels), upd
+
+        (loss, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt, upd["batch_stats"], acc + loss), None
+
     def body_data_only(carry, k):
         params, opt, stats, acc = carry
         k_s, k_a = jax.random.split(k)
@@ -209,6 +234,7 @@ def main():
 
     bodies = {
         "full": body_full,
+        "full_remat": body_full_remat,
         "step_resident": body_step_resident,
         "grad_noopt": body_grad_noopt,
         "fwd_train": body_fwd_train,

@@ -83,6 +83,10 @@ class ResNet(nn.Module):
     #: faster end-to-end on v5e because the 3-channel 7x7 conv underfills the
     #: MXU; use for from-scratch training (not weight-compatible).
     stem: str = "imagenet"
+    #: rematerialize each residual block in the backward pass
+    #: (``nn.remat``): trades recompute FLOPs for HBM traffic — the training
+    #: A/B lives in benchmarks/train_profile.py. Identical math either way.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -141,10 +145,11 @@ class ResNet(nn.Module):
         if up_to == "stem":
             return x
 
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     filters=self.num_filters * 2**i,
                     strides=strides,
                     conv=conv,
@@ -175,6 +180,7 @@ def build_resnet(
     dtype=jnp.bfloat16,
     stem: str = "imagenet",
     width: int = 1,
+    remat: bool = False,
 ) -> ResNet:
     """ResNet constructor by depth (backbone swap surface: 18/34/50/101).
 
@@ -189,7 +195,8 @@ def build_resnet(
     except KeyError:
         raise ValueError(f"unsupported ResNet depth {depth}; choose from {sorted(_DEPTHS)}")
     return ctor(
-        num_classes=num_classes, dtype=dtype, stem=stem, num_filters=64 * width
+        num_classes=num_classes, dtype=dtype, stem=stem,
+        num_filters=64 * width, remat=remat,
     )
 
 
