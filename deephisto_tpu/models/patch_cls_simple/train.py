@@ -329,6 +329,7 @@ def train(cfg, resume: bool = False, mesh=None):
         stem=cfg["model"].get("stem", "imagenet"),
         arch=cfg["model"].get("arch", "resnet"),
         width=cfg["model"].get("width", 1),
+        patch=cfg["model"].get("patch", 16),  # ViT token size
     )
     variables = init_model(
         model,
@@ -403,7 +404,9 @@ def train(cfg, resume: bool = False, mesh=None):
     # the fused TPU-native epoch: sampling + augment + fwd/bwd + update for the
     # whole epoch in one device program — the host is touched once per epoch
     fused_epoch = make_fused_epoch(
-        train_model, sample_source, batch_size, train_steps, mesh=mesh
+        train_model, sample_source, batch_size, train_steps, mesh=mesh,
+        crop_pad=cfg["training"].get("crop_pad", 0),
+        label_smoothing=cfg["training"].get("label_smoothing", 0.0),
     )
     fused_eval = make_fused_eval(train_model, sample_source, batch_size, val_steps)
 
