@@ -270,6 +270,42 @@ def main():
         step_flops = float("nan")
         print(f"cost_analysis failed: {e}", file=sys.stderr)
 
+    # ---- product-surface rows: the REAL make_fused_epoch at K/2K steps ----
+    # (includes the u8-flip augmentation and, for chunk>0, the vectorized
+    # coordinate presampling — the shipped path, not a reconstruction)
+    if not args.variants or "epoch_api" in args.variants:
+        for chunk in (0, 8):
+            times = {}
+            for n in (args.steps, 2 * args.steps):
+                ep = make_fused_epoch(
+                    model, sampler, args.batch, n, presample_chunk=chunk
+                )
+                st = create_train_state(
+                    model, jax.tree.map(jnp.array, variables), 1e-3
+                )
+                st, losses, _ = ep(st, jax.random.key(n))  # warm (donates st)
+                float(jnp.sum(losses))
+                best = float("inf")
+                for _ in range(3):
+                    st2 = create_train_state(
+                        model, jax.tree.map(jnp.array, variables), 1e-3
+                    )
+                    t0 = time.perf_counter()
+                    st2, losses, _ = ep(st2, jax.random.key(n))
+                    float(jnp.sum(losses))
+                    best = min(best, time.perf_counter() - t0)
+                times[n] = best
+            dt = (times[2 * args.steps] - times[args.steps]) / args.steps
+            emit({
+                "kind": "variant",
+                "variant": f"epoch_api_chunk{chunk}",
+                "K": args.steps,
+                "t_K_s": round(times[args.steps], 4),
+                "t_2K_s": round(times[2 * args.steps], 4),
+                "step_ms": round(dt * 1e3, 3),
+                "patches_per_s": round(args.batch / dt, 1) if dt > 0 else None,
+            })
+
     K = args.steps
     for name, body in bodies.items():
         # two trip counts; compile both, then min-of-3 timed fetches each

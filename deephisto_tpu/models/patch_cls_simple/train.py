@@ -86,6 +86,7 @@ def make_fused_epoch(
     augment=True,
     crop_pad=0,
     label_smoothing=0.0,
+    presample_chunk=8,
 ):
     """The TPU-native training epoch: sampling + augmentation + forward/
     backward + update for ``n_steps`` steps fused into ONE device program
@@ -104,22 +105,42 @@ def make_fused_epoch(
     label is still the center patch's (the crop shifts by at most crop_pad).
     Incompatible with a ContextWindowModel (both repurpose the context
     gather). ``label_smoothing`` is forwarded to the CE loss.
+
+    ``presample_chunk``: the coordinate machinery (weighted categoricals +
+    exact-clip rejection trials) runs at tiny lane counts per step — ~2.5 ms
+    of a 25 ms r18/b256 step (benchmarks/train_profile_tpu.jsonl). When the
+    source is a region sampler over a device bank, coordinates for ALL steps
+    are presampled before the train scan in chunks of ``presample_chunk``
+    steps (``vmap`` over the SAME per-step keys — the coordinate stream is
+    identical to the per-step path), leaving only the patch gather in the
+    train body. 0/None disables. Memory: the clip intermediates scale by the
+    chunk; coords themselves are tiny.
     """
     model_ctx = getattr(model, "context", 0)
     if crop_pad and model_ctx:
         raise ValueError("crop_pad augmentation and a ContextWindowModel both "
                          "repurpose the context gather; use one or the other")
-    if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
-        sample_fn = sample_source
+    gather_ctx = model_ctx + crop_pad
+    is_sampler = not (
+        callable(sample_source) and not hasattr(sample_source, "make_sample_fn")
+    )
+    presample = bool(presample_chunk) and is_sampler and getattr(
+        getattr(sample_source, "bank", None), "on_device", False
+    )
+    if is_sampler:
+        sample_fn = sample_source.make_sample_fn(batch_size, context=gather_ctx)
     else:
-        sample_fn = sample_source.make_sample_fn(
-            batch_size, context=model_ctx + crop_pad
+        sample_fn = sample_source
+    if presample:
+        coord_fn = sample_source.make_sample_fn(
+            batch_size, gather=False
         )
+        gather_fn = sample_source.make_gather_fn(context=gather_ctx)
     data_sharding = batch_sharding(mesh) if mesh is not None else None
 
-    def body(state, k):
-        k_sample, k_aug = jax.random.split(k)
-        patches, labels, _, _ = sample_fn(k_sample)
+    def train_core(state, patches, labels, k_aug):
+        """augment (u8 — flips commute with the /255 cast exactly) + cast +
+        fwd/bwd + update. Shared by the per-step and presampled paths."""
         if crop_pad:
             kc, k_aug = jax.random.split(k_aug)
             size = patches.shape[1] - 2 * crop_pad
@@ -129,11 +150,15 @@ def make_fused_epoch(
                     img, (o[0], o[1], 0), (size, size, img.shape[-1])
                 )
             )(patches, offs)
-        x = patches.astype(jnp.float32) / 255.0
         if augment:
             kh, kv = jax.random.split(k_aug)
-            x = jnp.where(jax.random.bernoulli(kh), x[:, :, ::-1, :], x)
-            x = jnp.where(jax.random.bernoulli(kv), x[:, ::-1, :, :], x)
+            patches = jnp.where(
+                jax.random.bernoulli(kh), patches[:, :, ::-1, :], patches
+            )
+            patches = jnp.where(
+                jax.random.bernoulli(kv), patches[:, ::-1, :, :], patches
+            )
+        x = patches.astype(jnp.float32) / 255.0
         if data_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, data_sharding)
             labels = jax.lax.with_sharding_constraint(labels, data_sharding)
@@ -156,9 +181,38 @@ def make_fused_epoch(
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return state, (loss, correct)
 
+    def body(state, k):
+        k_sample, k_aug = jax.random.split(k)
+        patches, labels, _, _ = sample_fn(k_sample)
+        return train_core(state, patches, labels, k_aug)
+
+    def body_presampled(state, xs):
+        k_aug, labels, coords, img_idx = xs
+        patches = gather_fn(img_idx, coords)
+        return train_core(state, patches, labels, k_aug)
+
     def epoch(state, key):
         keys = jax.random.split(key, n_steps)
-        state, (losses, corrects) = jax.lax.scan(body, state, keys)
+        if not presample:
+            state, (losses, corrects) = jax.lax.scan(body, state, keys)
+            return state, losses, corrects
+        # identical per-step key derivation as `body`, then one vectorized
+        # coordinate pass (chunked scan of a vmapped coord step)
+        ks = jax.vmap(lambda k: jax.random.split(k))(keys)  # (S, 2)
+        k_samples, k_augs = ks[:, 0], ks[:, 1]
+        chunk = presample_chunk
+        while n_steps % chunk:
+            chunk -= 1
+        kc = k_samples.reshape(n_steps // chunk, chunk)
+        _, (labels, coords, img_idx) = jax.lax.scan(
+            lambda c, kk: (c, jax.vmap(coord_fn)(kk)), 0, kc
+        )
+        labels = labels.reshape(n_steps, -1)
+        coords = coords.reshape(n_steps, -1, 2)
+        img_idx = img_idx.reshape(n_steps, -1)
+        state, (losses, corrects) = jax.lax.scan(
+            body_presampled, state, (k_augs, labels, coords, img_idx)
+        )
         return state, losses, corrects
 
     return jax.jit(epoch, donate_argnums=(0,))

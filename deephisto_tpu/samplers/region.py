@@ -458,6 +458,34 @@ class AnnoRegionRndSampler:
 
         return fn_ctx
 
+    def make_gather_fn(self, context: int = 0):
+        """The gather half of ``make_sample_fn``: a pure
+        ``(img_idx, coords) -> windows_u8`` function over the device bank —
+        for callers that presample coordinates separately (the fused epoch's
+        vectorized coord presampling, models/patch_cls_simple/train.py).
+        ``context`` follows make_sample_fn's window semantics (same clamp)."""
+        if not self.bank.on_device:
+            raise ValueError("make_gather_fn requires a device-resident bank")
+        ps = self.patch_size
+        images = self.bank.images
+        if context == 0:
+            return lambda img_idx, coords: gather_patches_multi_xla(
+                images, img_idx, coords, ps
+            )
+        win = ps + 2 * context
+        hw = np.asarray(self.bank.layer_hw_arr, np.int32)
+        if (hw < win).any():
+            raise ValueError(
+                f"context window {win} exceeds a slide layer: {hw.min(0)}"
+            )
+        hw_dev = jnp.asarray(hw)
+
+        def g(img_idx, coords):
+            start = jnp.clip(coords - context, 0, hw_dev[img_idx] - win)
+            return gather_patches_multi_xla(images, img_idx, start, win)
+
+        return g
+
     def _get_step(self, n: int, forced_cls: int | None):
         sig = (n, forced_cls)
         fn = self._jitted.get(sig)

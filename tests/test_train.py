@@ -216,3 +216,34 @@ def test_fused_epoch_crop_pad(tiny_cfg):
         make_fused_epoch(
             ContextWindowModel(model, 32, 32), sampler, 4, 2, crop_pad=8
         )
+
+
+def test_presampled_epoch_matches_per_step(tiny_cfg):
+    """presample_chunk vectorizes the coordinate machinery over the SAME
+    per-step keys — the loss trajectory must match the per-step path
+    exactly (same coords -> same patches -> same grads)."""
+    import jax
+    import numpy as np
+
+    from deephisto_tpu.models.patch_cls_simple.model import get_model, init_model
+    from deephisto_tpu.models.patch_cls_simple.train import make_fused_epoch
+    from deephisto_tpu.samplers import AnnoRegionRndSampler
+    from deephisto_tpu.train import create_train_state
+    from deephisto_tpu.utils import get_img_ano_paths
+
+    pairs = get_img_ano_paths(tiny_cfg["dataset"]["folder"], sample="train")
+    sampler = AnnoRegionRndSampler(pairs, patch_size=32, layer=2, verbose=False)
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=32, pretrained=False)
+
+    losses = {}
+    for chunk in (0, 2):
+        # the fused epoch DONATES the state — give each arm its own copy
+        import jax.numpy as jnp
+
+        arm_vars = jax.tree.map(jnp.array, variables)
+        state = create_train_state(model, arm_vars, 1e-3)
+        ep = make_fused_epoch(model, sampler, 4, 4, presample_chunk=chunk)
+        _, l, c = ep(state, jax.random.key(3))
+        losses[chunk] = np.asarray(l)
+    np.testing.assert_array_equal(losses[0], losses[2])
