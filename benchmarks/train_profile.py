@@ -249,7 +249,7 @@ def main():
     }
     if args.variants:
         want = args.variants.split(",")
-        bodies = {n: bodies[n] for n in want}
+        bodies = {n: bodies[n] for n in want if n in bodies}
 
     opt0 = tx.init(state.params)
     carry0 = (state.params, opt0, state.batch_stats, jnp.float32(0.0))
