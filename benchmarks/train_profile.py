@@ -274,24 +274,33 @@ def main():
     # (includes the u8-flip augmentation and, for chunk>0, the vectorized
     # coordinate presampling — the shipped path, not a reconstruction)
     if not args.variants or "epoch_api" in args.variants:
+        # force-complete a fresh state BEFORE the timer: the state copies are
+        # asynchronously dispatched tiny programs; the first measured rows
+        # awaited them INSIDE the timed epoch call (r50's differential went
+        # NEGATIVE — the per-call fixed cost swamped the signal)
+        force = jax.jit(
+            lambda s: sum(jnp.sum(leaf) for leaf in jax.tree.leaves(s.params))
+        )
+
+        def fresh():
+            st = create_train_state(model, jax.tree.map(jnp.array, variables), 1e-3)
+            float(force(st))
+            return st
+
+        reps = 3
         for chunk in (0, 8):
             times = {}
             for n in (args.steps, 2 * args.steps):
                 ep = make_fused_epoch(
                     model, sampler, args.batch, n, presample_chunk=chunk
                 )
-                st = create_train_state(
-                    model, jax.tree.map(jnp.array, variables), 1e-3
-                )
-                st, losses, _ = ep(st, jax.random.key(n))  # warm (donates st)
+                st, losses, _ = ep(fresh(), jax.random.key(n))  # warm/compile
                 float(jnp.sum(losses))
+                states = [fresh() for _ in range(reps)]
                 best = float("inf")
-                for _ in range(3):
-                    st2 = create_train_state(
-                        model, jax.tree.map(jnp.array, variables), 1e-3
-                    )
+                for st in states:
                     t0 = time.perf_counter()
-                    st2, losses, _ = ep(st2, jax.random.key(n))
+                    _, losses, _ = ep(st, jax.random.key(n))
                     float(jnp.sum(losses))
                     best = min(best, time.perf_counter() - t0)
                 times[n] = best
