@@ -279,10 +279,15 @@ def main():
         # awaited them INSIDE the timed epoch call (r50's differential went
         # NEGATIVE — the per-call fixed cost swamped the signal)
         force = jax.jit(
-            lambda s: sum(jnp.sum(leaf) for leaf in jax.tree.leaves(s.params))
+            lambda s: sum(
+                jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(s)
+            )
         )
 
         def fresh():
+            # force EVERY leaf (params + 2x-params adam state + stats): any
+            # pending async copy left in the queue drains inside the timed
+            # call otherwise and swamps the differential
             st = create_train_state(model, jax.tree.map(jnp.array, variables), 1e-3)
             float(force(st))
             return st
