@@ -104,6 +104,8 @@ def main():
     ap.add_argument("--save_prefix", default="", help="save best ckpts as <prefix>_ctx<N>.msgpack")
     ap.add_argument("--load_prefix", default="", help="skip training; load "
                     "<prefix>_ctx<N>.msgpack checkpoints and run the evals")
+    ap.add_argument("--skip_matrix", action="store_true",
+                    help="skip the cross-mode val matrix (map evals only)")
     args = ap.parse_args()
 
     out_path = Path(__file__).parent / f"fidelity_study_{jax.default_backend()}.jsonl"
@@ -201,7 +203,9 @@ def main():
             save_model(p, best[1]["params"], best[1]["batch_stats"])
 
     # ---- cross-mode matrix: (train_ctx, eval_ctx) val accuracy ------------
-    for ctx, (model, variables) in best_per_arm.items():
+    for ctx, (model, variables) in (
+        {} if args.skip_matrix else best_per_arm
+    ).items():
         shim = EvalState(
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
