@@ -61,7 +61,7 @@ def main():
     model = get_model(5, depth=18, stem="s2d")
     variables = init_model(model, pretrained=False)
     calib = rng.random((32, 224, 224, 3)).astype(np.float32)
-    qmodel, qvars = quantize_resnet(model, variables, [calib])
+    qmodel, qvars = quantize_resnet(model, variables, [calib], pack_l1=True)
 
     def timed(fn):
         fn()  # warm/compile
