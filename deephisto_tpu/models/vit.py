@@ -59,14 +59,27 @@ FLASH_MIN_SEQ = 512
 def _flash_block_sizes(n: int):
     """Measured-optimal v5e BlockSizes for the flash kernel at padded length
     ``n`` (multiple of 128). The sweep is insensitive to the exact combo once
-    block_kv >= 1024 and block_q >= 512 (±5%); block_b > 1 never helped."""
+    block_kv >= 1024 and block_q >= 512 (±5%); block_b > 1 never helped.
+    The backward (dkv/dq) blocks mirror the forward ones — they must be
+    explicit or differentiating the kernel fails ("not all backward blocks
+    are specified"); training a patch-8 ViT (784 tokens) hits the kernel
+    under grad."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
+    bq = min(512, n)
+    bk = min(1024, n)
     return BlockSizes(
-        block_q=min(512, n),
-        block_k_major=min(1024, n),
-        block_k=min(1024, n),
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
         block_b=1,
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
     )
 
 
