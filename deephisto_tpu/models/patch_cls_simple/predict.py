@@ -39,6 +39,7 @@ def predict(image_path: Path | str, weights_path: Path | str, cfg: dict | None =
         stem=cfg["model"].get("stem", "imagenet"),
         arch=cfg["model"].get("arch", "resnet"),
         width=cfg["model"].get("width", 1),
+        patch=cfg["model"].get("patch", 16),
     )
     variables = load_weights(weights_path)
     img = load_image(image_path, cfg["dataset"]["patch_size"])

@@ -66,8 +66,14 @@ def _flash_block_sizes(n: int):
     under grad."""
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    bq = min(512, n)
-    bk = min(1024, n)
+    def pick(cap):
+        for b in (1024, 512, 384, 256, 128):
+            if b <= cap and n % b == 0:
+                return b
+        return 128
+
+    bq = pick(512)
+    bk = pick(1024)
     return BlockSizes(
         block_q=bq,
         block_k_major=bk,
@@ -98,7 +104,12 @@ def _attention(q, k, v, use_flash: bool):
         )
 
         b, h, n, dh = q.shape
-        n_pad = (-n) % 128
+        # pad to a multiple of 512, not 128: the tuned 512/1024 blocks must
+        # DIVIDE the padded length (the kernel verifies this — the backward
+        # pass rejects q_seq_len=896 with block 512), and the sweep showed
+        # sub-256 blocks run at a fraction of the rate. Pad tokens are
+        # masked out via SegmentIds either way.
+        n_pad = (-n) % 512
         if n_pad:
             pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
             qp = jnp.pad(q, pad)

@@ -203,12 +203,17 @@ def load_model(
     from ..models.patch_cls_simple.model import get_model
     from ..train.checkpoint import load_model as load_weights
 
+    width, patch = 1, 16
     if cfg is not None:
         m = cfg["model"]
         n_classes = m.get("n_classes", n_classes)
         depth = m.get("depth", depth)
         stem = m.get("stem", stem)
         arch = m.get("arch", arch)
-    model = get_model(n_classes, depth=depth, stem=stem, arch=arch)
+        width = m.get("width", 1)
+        patch = m.get("patch", 16)
+    model = get_model(
+        n_classes, depth=depth, stem=stem, arch=arch, width=width, patch=patch
+    )
     variables = load_weights(weights_path)
     return model, variables

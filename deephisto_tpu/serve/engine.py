@@ -203,6 +203,7 @@ class ServingEngine:
             stem=m.get("stem", "imagenet"),
             arch=m.get("arch", "resnet"),
             width=m.get("width", 1),
+            patch=m.get("patch", 16),
         )
         if Path(weights_path).is_dir():
             # an orbax checkpoint directory (mesh-scale training artifact,
