@@ -187,16 +187,16 @@ def main():
                     "pack_l1 packed stage-1, s2d8 packed stem), fcn "
                     "t1024/tb16/halo32, pack=8 staged slide",
                     **detail_rows,
-                    "accuracy_note": "fcn-vs-exact GT map accuracy, held-out "
-                    "slides (benchmarks/fidelity_study_tpu.jsonl, round 4): "
-                    "context-trained checkpoints (the recommended recipe, "
-                    "model.context 64/128) serve fcn at +3.2..+3.5 GT pts vs "
-                    "their own exact stride-112 map — accuracy-neutral or "
-                    "better; bare-patch checkpoints LOSE 9.2 GT pts under "
-                    "fcn and must serve --dense. int8 vs float: top-1 delta "
-                    "0.0/-0.005, 100% class-map agreement "
-                    "(benchmarks/int8_accuracy_tpu.jsonl; speed here "
-                    "measured on a random-init model)",
+                    "accuracy_note": "fcn-vs-exact GT map accuracy, 9 "
+                    "held-out slides (benchmarks/fidelity_study_tpu.jsonl, "
+                    "round 4): context-trained checkpoints (the recommended "
+                    "recipe, model.context 64/128) serve fcn at +2.9..+4.8 "
+                    "GT pts vs their own exact stride-112 map — "
+                    "accuracy-neutral or better; bare-patch checkpoints "
+                    "LOSE 12.5 GT pts under fcn and must serve --dense. "
+                    "int8 vs float: top-1 delta 0.0/-0.005, 100% class-map "
+                    "agreement (benchmarks/int8_accuracy_tpu.jsonl; speed "
+                    "here measured on a random-init model)",
                     "backend": jax.default_backend(),
                 },
             }
