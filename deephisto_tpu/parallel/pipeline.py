@@ -157,6 +157,16 @@ def make_pipeline_steps(model, mesh: Mesh, n_microbatches: int = 8):
     """
     if STAGE_AXIS not in mesh.shape or DATA_AXIS not in mesh.shape:
         raise ValueError(f"mesh must have ({DATA_AXIS}, {STAGE_AXIS}) axes")
+    if getattr(model, "stem", "linear") != "linear":
+        # the conv stem carries BatchNorm, whose batch statistics are not
+        # well-defined under the GPipe microbatch split (each microbatch
+        # would see different stats than single-device training) — the
+        # conv-stem ViT composes with TENSOR parallelism instead
+        # (tests/test_tensor_parallel.py, conv-stem trajectory parity)
+        raise ValueError(
+            "pipeline parallelism supports the linear-embed ViT only; "
+            "use tensor parallelism for stem='conv'"
+        )
     n_stages = mesh.shape[STAGE_AXIS]
     embed, apply_stage, head = _vit_fns(model)
     perm = [(i, i + 1) for i in range(n_stages - 1)]

@@ -97,3 +97,45 @@ def test_tp_train_trajectory_matches_replicated():
         and len(x.sharding.device_set) >= 2
         for p, x in mu_fc1
     )
+
+
+def test_tp_conv_stem_vit_trajectory_matches_replicated():
+    """The round-4 recommended from-scratch recipe (conv-stem ViT,
+    models/vit.py stem="conv") must compose with tensor parallelism: the
+    stem conv/BN params fall to the replicated default spec, BN batch stats
+    ride the normal state, and the trajectory matches replicated training."""
+    model = ViT(
+        num_classes=5, patch=8, dim=64, depth=2, heads=4,
+        dtype=jnp.float32, stem="conv",
+    )
+    variables = _init(model)
+    assert "batch_stats" in variables  # the conv stem brings BN stats
+    rng = np.random.default_rng(1)
+    batches = [
+        (
+            jnp.asarray(rng.normal(size=(16, 16, 16, 3)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 5, size=(16,)).astype(np.int32)),
+        )
+        for _ in range(3)
+    ]
+
+    sstate = create_train_state(
+        model, jax.tree.map(np.array, dict(variables)), learning_rate=1e-3
+    )
+    sstep, _ = make_steps(model)
+    mesh = make_mesh(model=2)
+    tstate = create_train_state(
+        model, jax.tree.map(np.array, dict(variables)), learning_rate=1e-3
+    )
+    tstate = place_vit_tensor_parallel(tstate, mesh)
+    tstep, _ = make_steps(model)
+
+    single, tensor = [], []
+    for x, y in batches:
+        sstate, l1, _ = sstep(sstate, x, y)
+        tstate, l2, _ = tstep(tstate, shard_batch(x, mesh), shard_batch(y, mesh))
+        single.append(float(l1))
+        tensor.append(float(l2))
+    np.testing.assert_allclose(single, tensor, rtol=1e-5)
+    fc1 = tstate.params["block0"]["fc1"]["kernel"]
+    assert len(fc1.sharding.device_set) >= 2
