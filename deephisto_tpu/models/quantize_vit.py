@@ -46,9 +46,34 @@ def _split_heads(qkv, b, n, heads, dim):
     return qkv[0], qkv[1], qkv[2]
 
 
+BN_EPS = 1e-5  # the conv stem's nn.BatchNorm epsilon, vit.py
+
+
+def _n_stem_convs(model: ViT) -> int:
+    return model.patch.bit_length() - 1 if model.stem == "conv" else 0
+
+
+def _fold_stem(model: ViT, variables):
+    """Fold each stem BN into its (bias-free) 3×3/2 conv — the standard
+    inference fold (same math as models/quantize.py's ResNet fold):
+    w' = w·γ/√(σ²+ε) per output channel, b' = β − μ·γ/√(σ²+ε)."""
+    p = variables["params"]
+    bs = variables.get("batch_stats", {})
+    folded = []
+    for i in range(_n_stem_convs(model)):
+        w = jnp.asarray(p[f"stem_conv{i}"]["kernel"], jnp.float32)
+        bn = p[f"stem_bn{i}"]
+        mean = jnp.asarray(bs[f"stem_bn{i}"]["mean"], jnp.float32)
+        var = jnp.asarray(bs[f"stem_bn{i}"]["var"], jnp.float32)
+        g = jnp.asarray(bn["scale"], jnp.float32) * jax.lax.rsqrt(var + BN_EPS)
+        folded.append((w * g, jnp.asarray(bn["bias"], jnp.float32) - mean * g))
+    return folded
+
+
 def _float_forward(model: ViT, variables, x, record=None):
-    """Float forward mirroring vit.py:129-154, optionally recording per-matmul
-    input absmax into ``record`` (the calibration pass)."""
+    """Float forward mirroring vit.py's ViT.__call__ at inference (BN folded
+    for the conv stem), optionally recording per-matmul input absmax into
+    ``record`` (the calibration pass)."""
     p = variables["params"]
 
     def note(name, t):
@@ -58,12 +83,27 @@ def _float_forward(model: ViT, variables, x, record=None):
             )
 
     x = jnp.asarray(x, jnp.float32)
-    note("embed", x)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.asarray(p["embed"]["kernel"], jnp.float32),
-        (model.patch, model.patch), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + jnp.asarray(p["embed"]["bias"], jnp.float32)
+    if model.stem == "conv":
+        for i, (w, b) in enumerate(_fold_stem(model, variables)):
+            note(f"stem{i}", x)
+            x = jax.nn.relu(
+                jax.lax.conv_general_dilated(
+                    x, w, (2, 2), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + b
+            )
+        note("embed", x)
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(p["embed"]["kernel"], jnp.float32), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(p["embed"]["bias"], jnp.float32)
+    else:
+        note("embed", x)
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(p["embed"]["kernel"], jnp.float32),
+            (model.patch, model.patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(p["embed"]["bias"], jnp.float32)
     b, gh, gw, d = x.shape
     n = gh * gw
     x = x.reshape(b, n, d) + jnp.asarray(p["pos_embed"], jnp.float32)
@@ -153,22 +193,27 @@ class QuantizedViT:
             return y.astype(jnp.float32) * layer["dequant"] + layer["bias"]
 
         # ---- embed: int8 patch conv (u8 fast path) ----------------------
-        emb = q["embed"]
-        if x.dtype == jnp.uint8:
-            x8 = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * (emb["in_inv_scale"] / 255.0)),
-                -127, 127,
+        def quant_in(layer, xf):
+            inv = layer["in_inv_scale"]
+            if xf.dtype == jnp.uint8:  # /255 folds into the input scale
+                inv = inv / 255.0
+            return jnp.clip(
+                jnp.round(xf.astype(jnp.float32) * inv), -127, 127
             ).astype(jnp.int8)
-        else:
-            x8 = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * emb["in_inv_scale"]), -127, 127
-            ).astype(jnp.int8)
-        xe = jax.lax.conv_general_dilated(
-            x8, emb["kernel_q"], (model.patch, model.patch), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        xe = xe.astype(jnp.float32) * emb["dequant"] + emb["bias"]
+
+        def qconv(layer, xf, stride, padding):
+            y = jax.lax.conv_general_dilated(
+                quant_in(layer, xf), layer["kernel_q"], stride, padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            return y.astype(jnp.float32) * layer["dequant"] + layer["bias"]
+
+        for i in range(_n_stem_convs(model)):
+            # BN-folded int8 stem conv; dequant+bias+relu is one f32 epilogue
+            x = jax.nn.relu(qconv(q[f"stem{i}"], x, (2, 2), "SAME"))
+        emb_stride = (1, 1) if model.stem == "conv" else (model.patch, model.patch)
+        xe = qconv(q["embed"], x, emb_stride, "VALID")
         b, gh, gw, d = xe.shape
         n = gh * gw
         x = (xe.reshape(b, n, d) + q["pos_embed"]).astype(jnp.bfloat16)
@@ -215,6 +260,10 @@ def quantize_vit(model: ViT, variables, calib_batches):
     qp: dict = {
         "embed": qweights("embed", p["embed"]["kernel"], p["embed"]["bias"]),
         "pos_embed": jnp.asarray(p["pos_embed"], jnp.float32),
+    }
+    for i, (w, b) in enumerate(_fold_stem(model, variables)):
+        qp[f"stem{i}"] = qweights(f"stem{i}", w, b)
+    qp |= {
         "ln": {
             "scale": jnp.asarray(p["ln"]["scale"], jnp.float32),
             "bias": jnp.asarray(p["ln"]["bias"], jnp.float32),

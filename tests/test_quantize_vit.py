@@ -89,3 +89,35 @@ def test_quantized_vit_through_fused_predict(vit_setup):
     assert am_q.shape == am_f.shape
     f = np.asarray(score_f)
     assert np.abs(np.asarray(score_q) - f).max() / (np.abs(f).max() + 1e-12) < 0.1
+
+
+def test_conv_stem_quantized_tracks_float():
+    """The round-4 recommended ViT recipe (stem="conv") quantizes too: the
+    BN-folded float walk must match the flax inference forward, and the
+    W8A8 logits must track it (stem convs run int8 with fused
+    dequant+bias+relu epilogues)."""
+    model = ViT(num_classes=5, patch=8, dim=64, depth=2, heads=4, stem="conv")
+    variables = model.init(jax.random.key(1), jnp.zeros((1, PS, PS, 3)))
+    # randomize BN stats/scales: fresh-init stats (mean 0, var 1) make the
+    # fold a no-op and hide folding bugs (same lesson as test_quantize.py)
+    rng = np.random.default_rng(5)
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(np.abs(rng.normal(0.5, 0.2, a.shape)), jnp.float32),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    batch = rng.random((4, PS, PS, 3)).astype(np.float32)
+
+    ref = np.asarray(model.apply(variables, batch, train=False))
+    walk = np.asarray(_float_forward(model, variables, batch))
+    np.testing.assert_allclose(walk, ref, atol=0.06, rtol=0.06)
+
+    qmodel, qvars = quantize_vit(model, variables, [batch])
+    n_stem = model.patch.bit_length() - 1
+    assert all(f"stem{i}" in qvars["params"] for i in range(n_stem))
+    ql = np.asarray(qmodel.apply(qvars, jnp.asarray(batch)))
+    fl = walk
+    cos = (ql * fl).sum(1) / (
+        np.linalg.norm(ql, axis=1) * np.linalg.norm(fl, axis=1) + 1e-12
+    )
+    assert cos.min() > 0.99, f"cosine {cos.min()}"
