@@ -55,7 +55,7 @@ def main():
     calib = [rng.random((16, 224, 224, 3)).astype(np.float32)]
 
     for stem in ("linear", "conv"):
-        model = get_model(5, arch="vit", stem="imagenet" if stem == "linear" else "conv")
+        model = get_model(5, arch="vit", depth=6, stem="imagenet" if stem == "linear" else "conv")
         variables = init_model(model, pretrained=False)
         qmodel, qvars = quantize_vit(model, variables, calib)
         for name, m, v in ((f"vit_{stem}_bf16", model, variables),
