@@ -170,3 +170,38 @@ def test_attention_dispatch_is_length_adaptive(monkeypatch):
     params = mha.init(jax.random.key(0), x_long)
     mha.apply(params, x_long)
     assert calls["flash"] > 0, "long sequence must take the flash kernel"
+
+
+def test_conv_stem_vit_shapes_and_grad():
+    """The round-4 recommended recipe: stem="conv" builds the 3x3/2 conv-BN
+    ladder + 1x1 embed (same token grid as patchify), carries batch_stats,
+    and differentiates — one grad step on a fixed batch reduces the loss."""
+    from deephisto_tpu.train import create_train_state
+    from deephisto_tpu.train.metrics import cross_entropy_loss
+
+    model = ViT(
+        num_classes=5, patch=8, dim=64, depth=2, heads=4,
+        dtype=jnp.float32, stem="conv",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    assert "batch_stats" in variables
+    assert "stem_conv0" in variables["params"] and "embed" in variables["params"]
+    out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert out.shape == (2, 5)
+
+    state = create_train_state(model, variables, 1e-3)
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    y = jnp.array([0, 1, 2, 3])
+
+    def loss_fn(params):
+        logits, updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return cross_entropy_loss(logits, y), updates
+
+    (l0, upd), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=upd["batch_stats"])
+    (l1, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    assert float(l1) < float(l0)
