@@ -124,18 +124,27 @@ def make_fused_epoch(
     is_sampler = not (
         callable(sample_source) and not hasattr(sample_source, "make_sample_fn")
     )
-    presample = bool(presample_chunk) and is_sampler and getattr(
+    # device-resident banks ride the jit as a RUNTIME ARGUMENT, never a
+    # closure constant: constants ship inside the remote-compile request,
+    # and the axon tunnel rejects big programs (HTTP 413 at a 24-slide
+    # 4096² bank — hit by the round-4 32-slide fidelity arm)
+    bank_as_arg = is_sampler and getattr(
         getattr(sample_source, "bank", None), "on_device", False
     )
+    presample = bool(presample_chunk) and bank_as_arg
     if is_sampler:
-        sample_fn = sample_source.make_sample_fn(batch_size, context=gather_ctx)
+        sample_fn = sample_source.make_sample_fn(
+            batch_size, context=gather_ctx, images_arg=bank_as_arg
+        )
     else:
         sample_fn = sample_source
     if presample:
         coord_fn = sample_source.make_sample_fn(
             batch_size, gather=False
         )
-        gather_fn = sample_source.make_gather_fn(context=gather_ctx)
+        gather_fn = sample_source.make_gather_fn(
+            context=gather_ctx, images_arg=True
+        )
     data_sharding = batch_sharding(mesh) if mesh is not None else None
 
     def train_core(state, patches, labels, k_aug):
@@ -181,20 +190,24 @@ def make_fused_epoch(
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return state, (loss, correct)
 
-    def body(state, k):
+    def body(state, k, images=None):
         k_sample, k_aug = jax.random.split(k)
-        patches, labels, _, _ = sample_fn(k_sample)
+        patches, labels, _, _ = (
+            sample_fn(k_sample, images) if bank_as_arg else sample_fn(k_sample)
+        )
         return train_core(state, patches, labels, k_aug)
 
-    def body_presampled(state, xs):
+    def body_presampled(state, xs, images=None):
         k_aug, labels, coords, img_idx = xs
-        patches = gather_fn(img_idx, coords)
+        patches = gather_fn(img_idx, coords, images)
         return train_core(state, patches, labels, k_aug)
 
-    def epoch(state, key):
+    def epoch(state, key, images=None):
         keys = jax.random.split(key, n_steps)
         if not presample:
-            state, (losses, corrects) = jax.lax.scan(body, state, keys)
+            state, (losses, corrects) = jax.lax.scan(
+                lambda s, k: body(s, k, images), state, keys
+            )
             return state, losses, corrects
         # identical per-step key derivation as `body`, then one vectorized
         # coordinate pass (chunked scan of a vmapped coord step)
@@ -211,24 +224,44 @@ def make_fused_epoch(
         coords = coords.reshape(n_steps, -1, 2)
         img_idx = img_idx.reshape(n_steps, -1)
         state, (losses, corrects) = jax.lax.scan(
-            body_presampled, state, (k_augs, labels, coords, img_idx)
+            lambda s, xs: body_presampled(s, xs, images),
+            state,
+            (k_augs, labels, coords, img_idx),
         )
         return state, losses, corrects
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    jitted = jax.jit(epoch, donate_argnums=(0,))
+    if not bank_as_arg:
+        return lambda state, key: jitted(state, key)
+    bank = sample_source.bank  # re-read .images each call: staying current
+    # if the caller swaps/restages the bank, and one epoch-granularity extra
+    # argument costs nothing (tunnel arg latency is per-DISPATCH, not per-GB)
+    return lambda state, key: jitted(state, key, bank.images)
 
 
 def make_fused_eval(model, sample_source, batch_size, n_steps):
-    """Fused validation pass: ``eval_fn(state, key) -> (losses, corrects)``."""
-    if callable(sample_source) and not hasattr(sample_source, "make_sample_fn"):
-        sample_fn = sample_source
-    else:
+    """Fused validation pass: ``eval_fn(state, key) -> (losses, corrects)``.
+    Device-resident banks ride as a runtime jit argument, same as
+    make_fused_epoch (axon remote-compile requests reject big constants)."""
+    is_sampler = not (
+        callable(sample_source) and not hasattr(sample_source, "make_sample_fn")
+    )
+    bank_as_arg = is_sampler and getattr(
+        getattr(sample_source, "bank", None), "on_device", False
+    )
+    if is_sampler:
         sample_fn = sample_source.make_sample_fn(
-            batch_size, context=getattr(model, "context", 0)
+            batch_size,
+            context=getattr(model, "context", 0),
+            images_arg=bank_as_arg,
         )
+    else:
+        sample_fn = sample_source
 
-    def body(variables, k):
-        patches, labels, _coords, _img = sample_fn(k)
+    def body(variables, k, images=None):
+        patches, labels, _coords, _img = (
+            sample_fn(k, images) if bank_as_arg else sample_fn(k)
+        )
         x = patches.astype(jnp.float32) / 255.0
         logits = model.apply(
             {"params": variables["params"], "batch_stats": variables["batch_stats"]},
@@ -239,13 +272,19 @@ def make_fused_eval(model, sample_source, batch_size, n_steps):
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return variables, (loss, correct)
 
-    def evaluate(state, key):
+    def evaluate(state, key, images=None):
         keys = jax.random.split(key, n_steps)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        _, (losses, corrects) = jax.lax.scan(body, variables, keys)
+        _, (losses, corrects) = jax.lax.scan(
+            lambda v, k: body(v, k, images), variables, keys
+        )
         return losses, corrects
 
-    return jax.jit(evaluate)
+    jitted = jax.jit(evaluate)
+    if not bank_as_arg:
+        return lambda state, key: jitted(state, key)
+    bank = sample_source.bank
+    return lambda state, key: jitted(state, key, bank.images)
 
 
 def make_steps(model, mesh=None):

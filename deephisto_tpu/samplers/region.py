@@ -396,6 +396,7 @@ class AnnoRegionRndSampler:
         forced_cls: int | None = None,
         gather: bool = True,
         context: int = 0,
+        images_arg: bool = False,
     ):
         """A pure function ``key -> (patches_u8, labels, coords, img_idx)``
         closing over the region table, weight matrices, and the slide bank as
@@ -403,6 +404,14 @@ class AnnoRegionRndSampler:
         training epoch, fused random predict). With ``gather=False`` the
         returned function yields ``(labels, coords, img_idx)`` only, for
         callers that gather differently (e.g. multi-magnification banks).
+
+        ``images_arg=True`` returns ``fn(key, images)`` instead: the slide
+        bank rides as a RUNTIME ARGUMENT of the enclosing jit rather than a
+        closure constant. Closure constants ship inside the remote-compile
+        request on the axon tunnel, which rejects large programs (HTTP 413
+        at ~24 4096² slides — the fused epoch over big banks MUST use this;
+        CLAUDE.md "big arrays must be jit arguments"). The coordinate
+        stream and gathered patches are bit-identical either way.
 
         ``context > 0`` (context-consistent training, models/patch_cls_simple/
         context.py): the LABEL still comes from the ``patch_size`` patch at the
@@ -428,13 +437,13 @@ class AnnoRegionRndSampler:
             raise ValueError("context must be non-negative")
         t = self.table
 
-        def fn(key):
+        def fn(key, images=None if images_arg else self.bank.images):
             return self._step_impl(
                 key, t.verts, t.area, t.class_idx, t.image_idx, t.sample_lo,
                 t.sample_hi, t.anchors, t.n_anchors, t.cells, t.n_cells,
                 t.cell_step, self._logw_cls_region,
                 self._logw_img_cls_region, self._cls_available,
-                self._img_cls_available, self._logw_img_all, self.bank.images,
+                self._img_cls_available, self._logw_img_all, images,
                 n=n, forced_cls=forced_cls, gather=gather and not context,
             )
 
@@ -448,29 +457,30 @@ class AnnoRegionRndSampler:
                 f"context window {win} exceeds a slide layer: {hw.min(0)}"
             )
         hw_dev = jnp.asarray(hw)
-        images = self.bank.images
 
-        def fn_ctx(key):
-            labels, coords, img_idx = fn(key)
+        def fn_ctx(key, images=None if images_arg else self.bank.images):
+            labels, coords, img_idx = fn(key, images)
             start = jnp.clip(coords - context, 0, hw_dev[img_idx] - win)
             windows = gather_patches_multi_xla(images, img_idx, start, win)
             return windows, labels, coords, img_idx
 
         return fn_ctx
 
-    def make_gather_fn(self, context: int = 0):
+    def make_gather_fn(self, context: int = 0, images_arg: bool = False):
         """The gather half of ``make_sample_fn``: a pure
         ``(img_idx, coords) -> windows_u8`` function over the device bank —
         for callers that presample coordinates separately (the fused epoch's
         vectorized coord presampling, models/patch_cls_simple/train.py).
-        ``context`` follows make_sample_fn's window semantics (same clamp)."""
+        ``context`` follows make_sample_fn's window semantics (same clamp);
+        ``images_arg`` follows make_sample_fn's (the bank as a runtime
+        argument ``g(img_idx, coords, images)`` instead of a jit constant)."""
         if not self.bank.on_device:
             raise ValueError("make_gather_fn requires a device-resident bank")
         ps = self.patch_size
-        images = self.bank.images
+        default_images = None if images_arg else self.bank.images
         if context == 0:
-            return lambda img_idx, coords: gather_patches_multi_xla(
-                images, img_idx, coords, ps
+            return lambda img_idx, coords, images=default_images: (
+                gather_patches_multi_xla(images, img_idx, coords, ps)
             )
         win = ps + 2 * context
         hw = np.asarray(self.bank.layer_hw_arr, np.int32)
@@ -480,7 +490,7 @@ class AnnoRegionRndSampler:
             )
         hw_dev = jnp.asarray(hw)
 
-        def g(img_idx, coords):
+        def g(img_idx, coords, images=default_images):
             start = jnp.clip(coords - context, 0, hw_dev[img_idx] - win)
             return gather_patches_multi_xla(images, img_idx, start, win)
 

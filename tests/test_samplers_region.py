@@ -135,6 +135,33 @@ def test_rnd_sampler_context_window_too_big(rnd_sampler):
         rnd_sampler.make_sample_fn(4, context=256)
 
 
+def test_rnd_sampler_images_arg_bit_identical(rnd_sampler):
+    """make_sample_fn/make_gather_fn(images_arg=True): the slide bank rides
+    as a runtime jit argument instead of a closure constant (closure
+    constants ship inside axon remote-compile requests, which reject big
+    banks with HTTP 413 — hit by the 24-slide fused train epoch). The
+    sampled stream and gathered pixels must be bit-identical to the
+    closure-constant path, with and without context."""
+    import jax
+
+    images = rnd_sampler.bank.images
+    for ctx in (0, 16):
+        key = jax.random.key(11)
+        ref = rnd_sampler.make_sample_fn(8, context=ctx)(key)
+        arg = rnd_sampler.make_sample_fn(8, context=ctx, images_arg=True)(
+            key, images
+        )
+        for a, b in zip(ref, arg):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        g_ref = rnd_sampler.make_gather_fn(context=ctx)
+        g_arg = rnd_sampler.make_gather_fn(context=ctx, images_arg=True)
+        _, _, coords, img_idx = ref
+        np.testing.assert_array_equal(
+            np.asarray(g_ref(img_idx, coords)),
+            np.asarray(g_arg(img_idx, coords, images)),
+        )
+
+
 def test_rnd_sampler_class_balance(rnd_sampler):
     counts = np.zeros(len(rnd_sampler.classes))
     for feats, labels, coords in rnd_sampler.jax_generator(32, 8):
