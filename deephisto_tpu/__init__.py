@@ -61,12 +61,16 @@ def _enable_compilation_cache() -> None:
         cache_dir = os.environ.get(
             "DEEPHISTO_COMPILE_CACHE", os.path.join(base, f"jax_cache_{suffix}")
         )
-        if platform == "cpu":
+        if platform == "cpu" and "DEEPHISTO_COMPILE_CACHE" not in os.environ:
+            # one-time migration: drop only pre-v2 generations (no host
+            # fingerprint in the name). v2 dirs of OTHER hosts sharing the
+            # cache base are valid for those hosts — leave them alone.
             import glob
             import shutil
 
             for stale in glob.glob(os.path.join(base, "jax_cache_cpu*")):
-                if os.path.abspath(stale) != os.path.abspath(cache_dir):
+                name = os.path.basename(stale)
+                if not name.startswith("jax_cache_cpu_v2_"):
                     shutil.rmtree(stale, ignore_errors=True)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -216,7 +216,9 @@ def make_fused_epoch(
         chunk = presample_chunk
         while n_steps % chunk:
             chunk -= 1
-        kc = k_samples.reshape(n_steps // chunk, chunk)
+        # shape-agnostic over key representation: typed keys are (S,),
+        # legacy raw PRNGKeys are (S, 2) — keep any trailing dims intact
+        kc = k_samples.reshape((n_steps // chunk, chunk) + k_samples.shape[1:])
         _, (labels, coords, img_idx) = jax.lax.scan(
             lambda c, kk: (c, jax.vmap(coord_fn)(kk)), 0, kc
         )

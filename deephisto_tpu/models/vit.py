@@ -197,7 +197,10 @@ class ViT(nn.Module):
         x = x.astype(self.dtype)
         if self.stem == "conv":
             n_down = self.patch.bit_length() - 1
-            assert 1 << n_down == self.patch, "conv stem needs power-of-2 patch"
+            if 1 << n_down != self.patch:
+                raise ValueError(
+                    f"conv stem needs a power-of-2 patch, got {self.patch}"
+                )
             for i in range(n_down):
                 ch = max(self.dim >> (n_down - 1 - i), 32)
                 x = nn.Conv(
