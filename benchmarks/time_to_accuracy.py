@@ -41,6 +41,10 @@ CONFIGS = {
     "vit2p8": dict(depth=6, arch="vit", stem="conv", patch=8, crop=16, ls=0.1),
     "vit_aug": dict(depth=6, arch="vit", crop=16, ls=0.1),
     "vit_stem": dict(depth=6, arch="vit", stem="conv"),
+    # round-5: GroupNorm conv stem (PP-composable — no batch statistics).
+    # If this holds >=0.70 sustained like vit2, pipeline parallelism gets a
+    # recommended model (VERDICT r4 item 4).
+    "vit2gn": dict(depth=6, arch="vit", stem="conv_gn", crop=16, ls=0.1),
     # r18 + crop control: is the crop augmentation itself worth anything on
     # the hard regime independent of architecture?
     "r18crop": dict(depth=18, width=1, arch="resnet", crop=16),

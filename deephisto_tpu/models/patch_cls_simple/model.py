@@ -42,10 +42,11 @@ def get_model(
                 f"{depth}; set model.depth explicitly for ViT configs"
             )
         vit_stem = "linear" if stem == "imagenet" else stem
-        if vit_stem not in ("linear", "conv"):
+        if vit_stem not in ("linear", "conv", "conv_gn"):
             raise ValueError(
-                f"arch='vit' supports stem 'linear' (imagenet) or 'conv', "
-                f"got {stem!r} (resnet-only stems like 's2d' do not apply)"
+                f"arch='vit' supports stem 'linear' (imagenet), 'conv', or "
+                f"'conv_gn', got {stem!r} (resnet-only stems like 's2d' do "
+                "not apply)"
             )
         return ViT(
             num_classes=n_classes, depth=depth, dtype=dtype,

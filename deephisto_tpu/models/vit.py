@@ -180,8 +180,12 @@ class ViT(nn.Module):
     and a 1×1 projection ("Early convolutions help transformers see better",
     Xiao et al. 2021) — same token grid, much better from-scratch optimization
     on small datasets (the round-3 ViT plateaued at 0.47 sustained on the
-    hard regime vs r18's 0.72; see benchmarks/vit_recipe.py). Opt-in: tensor/
-    pipeline parallel and W8A8 serving keep assuming "linear".
+    hard regime vs r18's 0.72; see benchmarks/time_to_accuracy.py vit2 arms).
+    stem="conv_gn" is the same conv stack with GroupNorm in place of
+    BatchNorm: no batch statistics, so the GPipe microbatch split is exact
+    and pipeline parallelism composes (parallel/pipeline.py rejects
+    BatchNorm stems for exactly that reason); accuracy on the hard regime is
+    measured in the same study (time_to_accuracy vit2gn arm).
     """
 
     num_classes: int
@@ -195,7 +199,7 @@ class ViT(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        if self.stem == "conv":
+        if self.stem in ("conv", "conv_gn"):
             n_down = self.patch.bit_length() - 1
             if 1 << n_down != self.patch:
                 raise ValueError(
@@ -207,10 +211,21 @@ class ViT(nn.Module):
                     ch, (3, 3), (2, 2), use_bias=False, dtype=self.dtype,
                     name=f"stem_conv{i}",
                 )(x)
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    dtype=self.dtype, name=f"stem_bn{i}",
-                )(x)
+                if self.stem == "conv_gn":
+                    # sample-local statistics: exact under any microbatch
+                    # split, so PP composes (class docstring). gcd keeps the
+                    # group count dividing narrow first-stage channels (48).
+                    import math
+
+                    x = nn.GroupNorm(
+                        num_groups=math.gcd(32, ch), dtype=self.dtype,
+                        name=f"stem_gn{i}",
+                    )(x)
+                else:
+                    x = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=self.dtype, name=f"stem_bn{i}",
+                    )(x)
                 x = nn.relu(x)
             x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="embed")(x)
         else:

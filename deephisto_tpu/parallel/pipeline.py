@@ -116,10 +116,29 @@ def _vit_fns(model):
     """Pure embed / per-block / head functions for ``models/vit.ViT``
     (same modules, same math — parity is by construction)."""
     dtype = model.dtype
-    embed_mod = nn.Conv(
-        model.dim, (model.patch, model.patch), (model.patch, model.patch),
-        dtype=dtype,
-    )
+    stem = getattr(model, "stem", "linear")
+    if stem == "conv_gn":
+        # the GroupNorm conv stem (models/vit.py): sample-local statistics,
+        # so recomputing it per stage row / per microbatch is EXACT — the
+        # property that makes this the PP-composable recommended stem
+        import math
+
+        n_down = model.patch.bit_length() - 1
+        chans = [max(model.dim >> (n_down - 1 - i), 32) for i in range(n_down)]
+        stem_mods = [
+            (
+                nn.Conv(ch, (3, 3), (2, 2), use_bias=False, dtype=dtype),
+                nn.GroupNorm(num_groups=math.gcd(32, ch), dtype=dtype),
+            )
+            for ch in chans
+        ]
+        embed_mod = nn.Conv(model.dim, (1, 1), dtype=dtype)
+    else:
+        stem_mods = []
+        embed_mod = nn.Conv(
+            model.dim, (model.patch, model.patch), (model.patch, model.patch),
+            dtype=dtype,
+        )
     from ..models.vit import Block
 
     block_mod = Block(model.dim, model.heads, dtype=dtype)
@@ -127,7 +146,12 @@ def _vit_fns(model):
     head_mod = nn.Dense(model.num_classes, dtype=jnp.float32)
 
     def embed(shared, x):
-        y = embed_mod.apply({"params": shared["embed"]}, x.astype(dtype))
+        y = x.astype(dtype)
+        for i, (conv_mod, gn_mod) in enumerate(stem_mods):
+            y = conv_mod.apply({"params": shared[f"stem_conv{i}"]}, y)
+            y = gn_mod.apply({"params": shared[f"stem_gn{i}"]}, y)
+            y = nn.relu(y)
+        y = embed_mod.apply({"params": shared["embed"]}, y)
         b, gh, gw, d = y.shape
         y = y.reshape(b, gh * gw, d)
         return y + shared["pos_embed"].astype(dtype)
@@ -157,15 +181,18 @@ def make_pipeline_steps(model, mesh: Mesh, n_microbatches: int = 8):
     """
     if STAGE_AXIS not in mesh.shape or DATA_AXIS not in mesh.shape:
         raise ValueError(f"mesh must have ({DATA_AXIS}, {STAGE_AXIS}) axes")
-    if getattr(model, "stem", "linear") != "linear":
-        # the conv stem carries BatchNorm, whose batch statistics are not
-        # well-defined under the GPipe microbatch split (each microbatch
-        # would see different stats than single-device training) — the
-        # conv-stem ViT composes with TENSOR parallelism instead
+    if getattr(model, "stem", "linear") not in ("linear", "conv_gn"):
+        # the BatchNorm conv stem's batch statistics are not well-defined
+        # under the GPipe microbatch split (each microbatch would see
+        # different stats than single-device training) — use stem='conv_gn'
+        # (GroupNorm: sample-local stats, exact under any split; measured
+        # accuracy: benchmarks/time_to_accuracy vit2gn arm) or tensor
+        # parallelism for stem='conv'
         # (tests/test_tensor_parallel.py, conv-stem trajectory parity)
         raise ValueError(
-            "pipeline parallelism supports the linear-embed ViT only; "
-            "use tensor parallelism for stem='conv'"
+            "pipeline parallelism supports stem='linear' and stem='conv_gn' "
+            "ViTs; the BatchNorm conv stem composes with tensor parallelism "
+            "instead"
         )
     n_stages = mesh.shape[STAGE_AXIS]
     embed, apply_stage, head = _vit_fns(model)
