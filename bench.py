@@ -110,12 +110,18 @@ def main():
     # embedded b2a conv and emits pack_A directly, no on-device relayout of a
     # conv output at all (models/quantize.py; bit-exact —
     # benchmarks/fcn16k_probe7_tpu.jsonl: 142.1k vs 106.2k pack4 same-run)
-    staged = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8)
+    # pre_tile: additionally materialize the halo-overlapped tile grid as one
+    # contiguous tensor, so each scan step reads contiguous blocks instead of
+    # gathering strided 2-D windows row by row (~21% of the program in DMA
+    # descriptors; +15.7% same-run, bit-equal — benchmarks/fcn_tiled_tpu.jsonl)
+    staged = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8, pre_tile=True)
+    staged8u = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8)
     staged4 = stage_for_fcn(image, tile=TILE, halo=HALO)
     # forced completion via a single-element fetch — summing the whole packed
     # slide in f32 would materialize a ~3.2 GB temporary inside the timed
     # window (and ~12.9 GB at 32768², an OOM) for no extra sync guarantee
-    float(staged.packed[0, 0, 0].astype(jnp.float32))
+    float(staged.tiles[0, 0, 0, 0].astype(jnp.float32))
+    float(staged8u.packed[0, 0, 0].astype(jnp.float32))
     float(staged4.packed[0, 0, 0].astype(jnp.float32))
     stage_s = time.perf_counter() - t0
 
@@ -160,6 +166,7 @@ def main():
 
     detail_rows = {"stage_s": round(stage_s, 4)}
     for label, fn, reps in (
+        ("fcn_int8_pack8_untiled", fcn(qmodel, qvars, staged8u), 3),
         ("fcn_int8_pack4_staged", fcn(qmodel, qvars, staged4), 3),
         ("fcn_bf16_staged", fcn(model, variables, staged4), 3),
         ("exact_bf16_round12_methodology", exact(model, variables), 3),
@@ -185,7 +192,7 @@ def main():
                     "wall_clock_s": round(dt, 4),
                     "model": "ResNet-18 s2d, int8 PTQ (bf16 residual carry, "
                     "pack_l1 packed stage-1, s2d8 packed stem), fcn "
-                    "t1024/tb16/halo32, pack=8 staged slide",
+                    "t1024/tb16/halo32, pack=8 pre-tiled staged slide",
                     **detail_rows,
                     "accuracy_note": "fcn-vs-exact GT map accuracy, 9 "
                     "held-out slides (benchmarks/fidelity_study_tpu.jsonl, "

@@ -222,19 +222,31 @@ class FcnStagedSlide:
     cost, like the HBM upload itself); pass to :func:`predict_full_fcn` in
     place of the raw image. Results are bit-identical to the raw-image call
     — the packed program just skips the per-tile relayout transpose that
-    costs ~4.3 ms per scan step on v5e (s2d_pack_image docstring)."""
+    costs ~4.3 ms per scan step on v5e (s2d_pack_image docstring).
 
-    __slots__ = ("packed", "h", "w", "tile", "halo", "pack")
+    ``tiles`` (``pre_tile=True`` staging) holds the halo-overlapped tile grid
+    materialized as one contiguous ``(n_tiles, T', T', C)`` uint8 tensor
+    (T' = (tile + 2·halo)/pack): the predict scan then reads each step's
+    tile batch as ONE contiguous block instead of gathering overlapping 2-D
+    windows row by row — the window gather costs ~21% of the whole 16384²
+    program in per-row DMA descriptors (benchmarks/fcn_mfu_tpu.jsonl
+    cut8_slice: 0.034 s of 0.164 s). The overlap duplication costs ~13%
+    more staging bytes; ``packed`` is not retained (predict never reads it
+    when tiles exist)."""
 
-    def __init__(self, packed, h, w, tile, halo, pack=4):
+    __slots__ = ("packed", "h", "w", "tile", "halo", "pack", "tiles")
+
+    def __init__(self, packed, h, w, tile, halo, pack=4, tiles=None):
         self.packed = packed
         self.h, self.w = h, w
         self.tile, self.halo = tile, halo
         self.pack = pack
+        self.tiles = tiles
 
 
 def stage_for_fcn(
-    image, tile: int = 1024, halo: int = 64, pack: int = 4
+    image, tile: int = 1024, halo: int = 64, pack: int = 4,
+    pre_tile: bool = False,
 ) -> FcnStagedSlide:
     """Stage a slide for s2d-stem fcn serving (FcnStagedSlide docstring).
 
@@ -246,7 +258,12 @@ def stage_for_fcn(
     pack=8 stages the "s2d8" representation for pack_l1-quantized models
     (_host_pack_s2d docstring) — bit-identical results, skips the packed
     stage-1 input relayout; requires tile and halo to be multiples of 8
-    (any legal fcn tile/halo is, they must be multiples of 32)."""
+    (any legal fcn tile/halo is, they must be multiples of 32).
+
+    pre_tile=True additionally materializes the halo-overlapped tile grid as
+    one contiguous tensor (FcnStagedSlide.tiles docstring) — ~13% more
+    staging bytes for a measured ~17% faster 16384² predict (the window
+    gather was ~21% of the program; benchmarks/fcn_mfu_tpu.jsonl)."""
     if pack not in (4, 8):
         raise ValueError(f"pack must be 4 or 8, got {pack}")
     host = isinstance(image, np.ndarray)
@@ -255,21 +272,47 @@ def stage_for_fcn(
     h, w = int(image.shape[0]), int(image.shape[1])
     ty, tx = -(-h // tile), -(-w // tile)
     pad_spec = ((halo, ty * tile - h + halo), (halo, tx * tile - w + halo), (0, 0))
+    tp = (tile + 2 * halo) // pack  # packed tile extent incl. halo
+    tc = tile // pack               # packed tile stride
     if host:
-        packed = jnp.asarray(
-            _host_pack_s2d(np.pad(image, pad_spec, mode="edge"), pack)
+        packed_np = _host_pack_s2d(np.pad(image, pad_spec, mode="edge"), pack)
+        if pre_tile:
+            tiles_np = np.empty(
+                (ty * tx, tp, tp, packed_np.shape[-1]), np.uint8
+            )
+            for t in range(ty * tx):
+                y0, x0 = (t // tx) * tc, (t % tx) * tc
+                tiles_np[t] = packed_np[y0 : y0 + tp, x0 : x0 + tp]
+            return FcnStagedSlide(
+                None, h, w, tile, halo, pack, tiles=jnp.asarray(tiles_np)
+            )
+        return FcnStagedSlide(jnp.asarray(packed_np), h, w, tile, halo, pack)
+    packed = s2d_pack_image(jnp.pad(image, pad_spec, mode="edge"))
+    if pack == 8:
+        packed = _pack2_device(packed)
+    if pre_tile:
+
+        @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+        def grid(packed, ty, tx, tp):
+            def one(t):
+                return jax.lax.dynamic_slice(
+                    packed,
+                    ((t // tx) * tc, (t % tx) * tc, 0),
+                    (tp, tp, packed.shape[-1]),
+                )
+
+            return jax.vmap(one)(jnp.arange(ty * tx))
+
+        return FcnStagedSlide(
+            None, h, w, tile, halo, pack, tiles=grid(packed, ty, tx, tp)
         )
-    else:
-        packed = s2d_pack_image(jnp.pad(image, pad_spec, mode="edge"))
-        if pack == 8:
-            packed = _pack2_device(packed)
     return FcnStagedSlide(packed, h, w, tile, halo, pack)
 
 
 @functools.lru_cache(maxsize=32)
 def _make_fcn_program(
     model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch=1,
-    pre_packed=False,
+    pre_packed=False, pre_tiled=False,
 ):
     """Build (and cache) the jitted whole-slide fcn program for concrete
     sizes. ``model`` must be hashable (flax Modules are frozen dataclasses;
@@ -320,15 +363,27 @@ def _make_fcn_program(
         fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
 
         def tile_step(_, idxs):
-            def slice_one(t):
-                return jax.lax.dynamic_slice(
-                    padded,
-                    ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
-                    ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
-                     padded.shape[-1]),
-                )
+            if pre_tiled:
+                # ``padded`` is the (n_tiles, T', T', C) contiguous tile
+                # tensor: each tile read is ONE contiguous block (axis-0
+                # gather), not a strided 2-D window — the window gather's
+                # per-row DMA descriptors cost ~21% of the whole program
+                # (FcnStagedSlide.tiles docstring)
+                xin = jax.vmap(
+                    lambda t: jax.lax.dynamic_index_in_dim(
+                        padded, t, axis=0, keepdims=False
+                    )
+                )(idxs)
+            else:
+                def slice_one(t):
+                    return jax.lax.dynamic_slice(
+                        padded,
+                        ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
+                        ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
+                         padded.shape[-1]),
+                    )
 
-            xin = jax.vmap(slice_one)(idxs)  # (tb, T+2h, T+2h, 3) u8 [packed]
+                xin = jax.vmap(slice_one)(idxs)  # (tb, T', T', C) u8 [packed]
             return None, tile_logits(
                 model, variables, xin, hh, ft, fc_kernel, pre_packed=pre_packed
             )
@@ -436,8 +491,12 @@ def predict_full_fcn(
     # replicated tissue keeps border-tile features in-distribution. The exact
     # patch path never reads beyond-slide pixels, so this only affects the
     # synthetic halo ring.
+    pre_tiled = False
     if staged:
-        padded = image.packed
+        if image.tiles is not None:
+            padded, pre_tiled = image.tiles, True
+        else:
+            padded = image.packed
     else:
         padded = jnp.pad(
             image,
@@ -446,7 +505,7 @@ def predict_full_fcn(
         )
     program = _make_fcn_program(
         model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch,
-        pre_packed=pre_packed,
+        pre_packed=pre_packed, pre_tiled=pre_tiled,
     )
     argmax_map, score = program(padded, variables)
     return np.asarray(argmax_map), score

@@ -341,8 +341,11 @@ class ServingEngine:
         image = np.asarray(image)
         with self._lock:
             self._requests += 1
+            # pre_tile: contiguous tile-grid staging (+15.7% per predict at
+            # ~13% more staging bytes, bit-equal — fcn_tiled_tpu.jsonl)
             staged = stage_for_fcn(
-                image, tile=self.tile, halo=self.halo, pack=pack
+                image, tile=self.tile, halo=self.halo, pack=pack,
+                pre_tile=True,
             )
             self._staged[key] = staged
             self._staged.move_to_end(key)

@@ -428,6 +428,30 @@ def test_staged_slide_matches_raw_image(small_model, image):
     np.testing.assert_array_equal(np.asarray(sc_raw), np.asarray(sc_st))
 
 
+def test_pre_tiled_staging_matches_raw_image(small_model, image):
+    """pre_tile=True staging (the contiguous tile-grid tensor that replaces
+    the per-step strided window gather — FcnStagedSlide.tiles) is
+    bit-identical to the raw-image call, for host and device staging and a
+    tile_batch that does NOT divide the tile count (the duplicate-tail
+    lanes)."""
+    from deephisto_tpu.predict.fcn import stage_for_fcn
+
+    model, variables = small_model
+    kw = dict(
+        n_classes=5, patch_size=PS, downscale=D, tile=64, halo=32,
+        tile_batch=2,  # 9 tiles at (160, 130)/64 — non-divisible tail
+    )
+    am_raw, sc_raw = predict_full_fcn(image, model, variables, **kw)
+    for staged in (
+        stage_for_fcn(image, tile=64, halo=32, pre_tile=True),
+        stage_for_fcn(jnp.asarray(image), tile=64, halo=32, pre_tile=True),
+    ):
+        assert staged.packed is None and staged.tiles is not None
+        am_t, sc_t = predict_full_fcn(staged, model, variables, **kw)
+        np.testing.assert_array_equal(am_raw, am_t)
+        np.testing.assert_array_equal(np.asarray(sc_raw), np.asarray(sc_t))
+
+
 def test_pack8_staging_requires_pack_l1_model(small_model, image):
     """pack=8 staging is the pre_packed='s2d8' representation — only a
     pack_l1 QuantizedResNet can consume it; a float model must be rejected
