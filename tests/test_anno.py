@@ -82,6 +82,7 @@ def test_region_annotation_validation():
         )
 
 
+@pytest.mark.smoke
 def test_region_annotation_layer_scaling():
     sq = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], dtype=np.float64)
     r1 = RegionAnnotation(file_path=None, region_idx=0, class_="A", vertices=sq, layer=1)

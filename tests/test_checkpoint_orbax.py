@@ -65,6 +65,7 @@ def _assert_tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
 
 
+@pytest.mark.smoke
 def test_roundtrip_with_async_save(tmp_path):
     state, _ = _train_steps(_fresh_state(), 3)
     mgr = oc.checkpoint_manager(tmp_path / "ckpt", async_save=True)

@@ -138,6 +138,7 @@ def test_fcn_bottleneck_matches_brute_force(image):
     np.testing.assert_array_equal(am, np.argmax(ref, axis=-1))
 
 
+@pytest.mark.smoke
 def test_fcn_tile_seams_are_clean(small_model, image):
     """Small tiles + adequate halo reproduce the single-tile program."""
     model, variables = small_model

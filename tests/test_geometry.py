@@ -68,6 +68,7 @@ def test_clip_area_triangle_halfplane_like():
     assert clip_area_box(TRIANGLE, 0, 0, 1, 3) == pytest.approx(2.5)
 
 
+@pytest.mark.smoke
 def test_clip_area_nonconvex_disconnected_intersection():
     # U-shaped polygon; a horizontal slab across the middle intersects the two
     # prongs as two disjoint rectangles — the collapsed-walk area must still be

@@ -26,6 +26,7 @@ def r18():
     return model, variables
 
 
+@pytest.mark.smoke
 def test_resnet18_shapes(r18):
     model, variables = r18
     x = jnp.zeros((2, PS, PS, 3))

@@ -12,6 +12,7 @@ def test_eight_virtual_devices_present():
     assert jax.default_backend() == "cpu"
 
 
+@pytest.mark.smoke
 def test_make_mesh_shapes():
     from deephisto_tpu.parallel import make_mesh
 

@@ -47,6 +47,7 @@ def test_multimag_gather_centers_align(ds):
     np.testing.assert_array_equal(out[0, 0], direct1[0])
 
 
+@pytest.mark.smoke
 def test_stack_mags_as_channels_shape(ds):
     paths = [p for p, _ in get_img_ano_paths(ds, "train")]
     bank = MultiMagBank(paths, layers=(1, 2))

@@ -19,6 +19,7 @@ def _numpy_clip_areas(poly, boxes):
     )
 
 
+@pytest.mark.smoke
 def test_native_clip_area_parity(rng):
     poly = star_polygon(rng, (500, 400), 300, 23)
     boxes = np.stack(

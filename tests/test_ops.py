@@ -23,6 +23,7 @@ def image(rng=np.random.default_rng(0)):
     return rng.integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
 
 
+@pytest.mark.smoke
 def test_gather_xla_matches_numpy(image):
     coords = np.array([[0, 0], [10, 20], [300 - 64, 400 - 64], [128, 7]], dtype=np.int32)
     out = np.asarray(gather_patches_xla(jnp.asarray(image), jnp.asarray(coords), 64))

@@ -61,6 +61,7 @@ def test_split_validates_stage_count():
         split_vit_params({"conv1": {}}, 2)
 
 
+@pytest.mark.smoke
 def test_make_pp_mesh_shapes():
     mesh = make_pp_mesh(stages=4)
     assert dict(mesh.shape) == {"data": 2, "stage": 4}

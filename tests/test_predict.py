@@ -51,6 +51,7 @@ def test_dense_coords_cover_everything():
     assert (H - PS, W - PS) in {tuple(x) for x in c}
 
 
+@pytest.mark.smoke
 def test_host_loop_vs_device_path_parity(slide, tiny_model):
     model, variables = tiny_model
     anno = AnnoDescription.with_known_colors(DEFAULT_COLORS)

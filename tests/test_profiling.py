@@ -1,3 +1,4 @@
+import pytest
 """Tests for the tracing/profiling utilities."""
 
 import jax.numpy as jnp
@@ -5,6 +6,7 @@ import jax.numpy as jnp
 from deephisto_tpu.profiling import StageTimer, annotate, trace
 
 
+@pytest.mark.smoke
 def test_stage_timer_accumulates_and_reports():
     t = StageTimer()
     for _ in range(3):

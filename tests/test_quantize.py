@@ -129,6 +129,7 @@ def test_quantized_model_through_fused_predict(batch):
     assert np.abs(q - f).max() / denom < 0.08
 
 
+@pytest.mark.smoke
 def test_quantized_variables_are_int8():
     """The conv kernels actually ship as int8 (the point of the exercise)."""
     model = get_model(5, depth=18, stem="s2d")

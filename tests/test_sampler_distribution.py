@@ -67,6 +67,7 @@ def test_region_pick_frequencies_match_weights(tmp_path, influence, expected_fra
     assert frac0 == pytest.approx(expected_frac0, abs=0.06), (counts, expected_frac0)
 
 
+@pytest.mark.smoke
 def test_single_class_dataset_works(tmp_path):
     pairs, _ = _make_two_region_dataset(tmp_path / "single")
     s = AnnoRegionRndSampler(pairs, layer=1, patch_size=16, seed=0, verbose=False)

@@ -21,6 +21,7 @@ def slide():
     )
 
 
+@pytest.mark.smoke
 def test_dense_coords_cover_grid_and_edges(slide):
     s = FullImageDenseSampler(
         slide, layer=2, patch_size=PS, batch_size=BS, stride=PS // 2

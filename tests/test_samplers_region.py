@@ -65,6 +65,7 @@ def test_area_weights_blend():
 # -- random sampler ---------------------------------------------------------
 
 
+@pytest.mark.smoke
 def test_rnd_sampler_structs_contract(rnd_sampler):
     batches = list(rnd_sampler.structs_generator(batch_size=8, n_batches=3))
     assert len(batches) == 3

@@ -86,6 +86,7 @@ def _npy(arr):
 # engine-level parity
 
 
+@pytest.mark.smoke
 def test_fcn_mode_matches_direct_call(engine, model_vars, image):
     model, variables = model_vars
     amap, meta = engine.predict_slide(image, mode="fcn")

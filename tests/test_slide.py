@@ -66,6 +66,7 @@ def test_synthetic_annotations_contract():
         assert (v >= 0).all() and (v[:, 0] < 256).all() and (v[:, 1] < 256).all()
 
 
+@pytest.mark.smoke
 def test_dhs_roundtrip(tmp_path):
     arr = np.random.default_rng(1).integers(0, 255, size=(200, 260, 3), dtype=np.uint8)
     p = write_dhs(arr, tmp_path / "s.dhs", max_layer=4)

@@ -25,6 +25,7 @@ def _init(model, seed=0):
     return model.init(jax.random.key(seed), jnp.zeros((1, 16, 16, 3), jnp.float32))
 
 
+@pytest.mark.smoke
 def test_tp_shardings_shapes():
     model = _tiny_vit()
     params = _init(model)["params"]

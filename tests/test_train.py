@@ -99,6 +99,7 @@ def test_train_resume_continues(tiny_cfg):
     assert len(result["train_losses"]) == 1
 
 
+@pytest.mark.smoke
 def test_warmup_cosine_schedule_curve():
     """Linear warmup to base LR, cosine decay to min_lr (the ViT recipe)."""
     from deephisto_tpu.train import WarmupCosine

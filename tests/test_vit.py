@@ -15,6 +15,7 @@ def vit():
     return model, variables
 
 
+@pytest.mark.smoke
 def test_vit_shapes(vit):
     model, variables = vit
     out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
