@@ -54,12 +54,20 @@ def main():
     n_patches = len(dense_coords(H, W, 224, 112))
     calib = [rng.random((16, 224, 224, 3)).astype(np.float32)]
 
+    from deephisto_tpu.models.vit import fold_vit_stem
+
+    ams = {}
     for stem in ("linear", "conv"):
         model = get_model(5, arch="vit", depth=6, stem="imagenet" if stem == "linear" else "conv")
         variables = init_model(model, pretrained=False)
         qmodel, qvars = quantize_vit(model, variables, calib)
-        for name, m, v in ((f"vit_{stem}_bf16", model, variables),
-                           (f"vit_{stem}_int8", qmodel, qvars)):
+        rows = [(f"vit_{stem}_bf16", model, variables),
+                (f"vit_{stem}_int8", qmodel, qvars)]
+        if stem == "conv":
+            # round-5: the bf16 serving rewrite (BN-folded stem, s2d-packed
+            # first conv, u8 ingestion — models/vit.py fold_vit_stem)
+            rows.insert(1, (f"vit_{stem}_folded_bf16", *fold_vit_stem(model, variables)))
+        for name, m, v in rows:
             def run(m=m, v=v):
                 am, _ = predict_full_fused(
                     image, m, v, n_classes=5, patch_size=224, stride=112,
@@ -67,7 +75,7 @@ def main():
                 )
                 return am
 
-            run()  # warm/compile
+            ams[name] = run()  # warm/compile
             best = float("inf")
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -76,6 +84,11 @@ def main():
             emit({"kind": "row", "config": name, "wall_s": round(best, 3),
                   "patches": n_patches,
                   "patches_per_s": round(n_patches / best, 1)})
+    if "vit_conv_folded_bf16" in ams:
+        a = np.asarray(ams["vit_conv_bf16"])
+        b = np.asarray(ams["vit_conv_folded_bf16"])
+        emit({"kind": "map_agreement", "configs": "conv_folded_vs_conv_bf16",
+              "agreement": round(float(np.mean(a == b)), 5)})
 
 
 if __name__ == "__main__":

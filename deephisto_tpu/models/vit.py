@@ -197,9 +197,16 @@ class ViT(nn.Module):
     stem: str = "linear"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, tokens: bool = False):
         x = x.astype(self.dtype)
-        if self.stem in ("conv", "conv_gn"):
+        if tokens:
+            # serving entry for pre-computed stem features (b, gh, gw, dim):
+            # fold_vit_stem runs the BN-folded / s2d-packed stem outside the
+            # flax module and re-enters here at the shared transformer tail
+            # (the unused stem params are simply not requested — flax apply
+            # tolerates that)
+            pass
+        elif self.stem in ("conv", "conv_gn"):
             n_down = self.patch.bit_length() - 1
             if 1 << n_down != self.patch:
                 raise ValueError(
@@ -256,3 +263,127 @@ class ViT(nn.Module):
 
 ViTSmall = partial(ViT, dim=384, depth=6, heads=6)
 ViTBase = partial(ViT, dim=768, depth=12, heads=12)
+
+
+class FoldedStemViT:
+    """``.apply``-compatible bf16 serving rewrite of the conv-stem ViT.
+
+    The recommended from-scratch recipe (stem="conv") costs ~10% vs the
+    linear stem through the fused predict pipeline (round 4,
+    benchmarks/vit_stem_serving_tpu.jsonl). This applies the same playbook
+    that fixed the ResNet stem (models/quantize.py pack_l1 docstring):
+
+    * inference-mode BatchNorm affines fold into the stem conv kernels
+      (exact in f32; one bias add replaces the BN pass),
+    * the first conv — a 3×3 stride-2 on THREE input channels, the worst
+      MXU fill in the model — runs on 2×2 space-to-depth-packed input as a
+      2×2 stride-1 conv over 12 channels (pure kernel relocation, exact:
+      SAME stride-2 on even extent pads (0, 1) → taps {0, 1, 2}, raw rows
+      {2i, 2i+1, 2i+2} = packed rows i, i+1; the packing itself is strided
+      slices, not a 5-D transpose — see _pack_a's layout lesson),
+    * raw uint8 ingestion (``wants_uint8``): /255 folds into the first
+      kernel, so the fused pipelines skip the float conversion pass.
+
+    Construct via :func:`fold_vit_stem`; the transformer tail re-enters the
+    original flax module at ``tokens=True`` — weights are shared, results
+    match the float model to bf16 rounding (parity: tests/test_vit.py)."""
+
+    wants_uint8 = True
+
+    def __init__(self, model: ViT):
+        if model.stem != "conv":
+            raise ValueError(
+                "fold_vit_stem serves stem='conv' (BatchNorm folds; "
+                f"got stem={model.stem!r})"
+            )
+        self._model = model
+
+    def __hash__(self):
+        return hash((type(self).__name__, self._model))
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._model == self._model
+
+    # the fused pipelines key program caches on (model, n_classes, ...)
+    @property
+    def stem(self):
+        return self._model.stem
+
+    def apply(self, variables, x, train: bool = False):
+        assert not train, "FoldedStemViT is inference-only"
+        f = variables["params"]
+        dt = self._model.dtype
+
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(
+                f"s2d stem needs even spatial extents, got {x.shape}"
+            )
+        if x.dtype == jnp.uint8:
+            k0 = f["stem0_kernel_u8"]  # /255 folded in
+        else:
+            k0 = f["stem0_kernel"]
+        # 2x2 space-to-depth: strided slices + channel concat (lane si*2+sj)
+        parts = [x[:, si::2, sj::2, :] for si in (0, 1) for sj in (0, 1)]
+        xp = jnp.concatenate(parts, axis=-1).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            xp, k0.astype(dt), (1, 1), [(0, 1), (0, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jax.nn.relu(y + f["stem0_bias"].astype(dt))
+        i = 1
+        while f"stem{i}_kernel" in f:
+            y = jax.lax.conv_general_dilated(
+                y, f[f"stem{i}_kernel"].astype(dt), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = jax.nn.relu(y + f[f"stem{i}_bias"].astype(dt))
+            i += 1
+        y = jax.lax.conv_general_dilated(
+            y, f["embed_kernel"].astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + f["embed_bias"].astype(dt)
+        return self._model.apply(f["inner"], y, tokens=True)
+
+
+def fold_vit_stem(model: ViT, variables: dict):
+    """Build the :class:`FoldedStemViT` serving rewrite (docstring there).
+
+    Returns ``(folded_model, folded_variables)`` — a drop-in for the fused
+    predict pipelines. Folding is host-side f32; the original variables ride
+    along for the transformer tail."""
+    import numpy as np
+
+    fm = FoldedStemViT(model)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    n_down = model.patch.bit_length() - 1
+    folded: dict = {}
+    for i in range(n_down):
+        k = np.asarray(params[f"stem_conv{i}"]["kernel"], np.float64)
+        bn_p, bn_s = params[f"stem_bn{i}"], stats[f"stem_bn{i}"]
+        g = np.asarray(bn_p["scale"], np.float64)
+        b = np.asarray(bn_p["bias"], np.float64)
+        m = np.asarray(bn_s["mean"], np.float64)
+        v = np.asarray(bn_s["var"], np.float64)
+        s = g / np.sqrt(v + 1e-5)
+        kf = k * s  # (kh, kw, ci, co) * (co,)
+        bias = b - m * s
+        if i == 0:
+            kh, kw, ci, co = kf.shape  # (3, 3, 3, ch)
+            kp = np.zeros((2, 2, 4 * ci, co))
+            for dy in range(kh):
+                for dx in range(kw):
+                    lane = (dy % 2) * 2 + dx % 2
+                    kp[dy // 2, dx // 2, lane * ci : (lane + 1) * ci] = kf[
+                        dy, dx
+                    ]
+            folded["stem0_kernel"] = jnp.asarray(kp, jnp.float32)
+            folded["stem0_kernel_u8"] = jnp.asarray(kp / 255.0, jnp.float32)
+            folded["stem0_bias"] = jnp.asarray(bias, jnp.float32)
+        else:
+            folded[f"stem{i}_kernel"] = jnp.asarray(kf, jnp.float32)
+            folded[f"stem{i}_bias"] = jnp.asarray(bias, jnp.float32)
+    folded["embed_kernel"] = jnp.asarray(params["embed"]["kernel"])
+    folded["embed_bias"] = jnp.asarray(params["embed"]["bias"])
+    folded["inner"] = variables
+    return fm, {"params": folded}

@@ -206,3 +206,42 @@ def test_conv_stem_vit_shapes_and_grad():
     state = state.replace(batch_stats=upd["batch_stats"])
     (l1, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     assert float(l1) < float(l0)
+
+
+def test_fold_vit_stem_matches_float_model():
+    """FoldedStemViT (BN-folded stem + s2d-packed first conv + u8
+    ingestion — the bf16 serving rewrite of the recommended conv-stem
+    recipe) matches the plain float forward to bf16 rounding with exact
+    argmax agreement, for uint8 AND float input. BN stats/affines are
+    randomized — zero-init BN makes stem folding trivially self-consistent
+    (models/quantize.py _embed_kernel docstring lesson)."""
+    import numpy as np
+
+    from deephisto_tpu.models.vit import FoldedStemViT, fold_vit_stem
+
+    model = ViT(num_classes=5, patch=16, dim=96, depth=2, heads=4, stem="conv")
+    rng = np.random.default_rng(3)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # plain dict
+    for k, sub in variables["batch_stats"].items():
+        sub["mean"] = jnp.asarray(rng.normal(0, 0.5, sub["mean"].shape), jnp.float32)
+        sub["var"] = jnp.asarray(rng.uniform(0.5, 2.0, sub["var"].shape), jnp.float32)
+    for k, sub in variables["params"].items():
+        if k.startswith("stem_bn"):
+            sub["scale"] = jnp.asarray(rng.uniform(0.5, 1.5, sub["scale"].shape), jnp.float32)
+            sub["bias"] = jnp.asarray(rng.normal(0, 0.3, sub["bias"].shape), jnp.float32)
+
+    x_u8 = rng.integers(0, 255, (4, 224, 224, 3), dtype=np.uint8)
+    x_f = jnp.asarray(x_u8, jnp.float32) / 255.0
+    ref = np.asarray(model.apply(variables, x_f, train=False))
+    fm, fv = fold_vit_stem(model, variables)
+    assert fm.wants_uint8
+    for xin in (jnp.asarray(x_u8), x_f):
+        out = np.asarray(fm.apply(fv, xin))
+        assert np.max(np.abs(out - ref)) / np.max(np.abs(ref)) < 2e-2
+        assert np.array_equal(out.argmax(-1), ref.argmax(-1))
+
+    with pytest.raises(ValueError):
+        FoldedStemViT(ViT(num_classes=5, stem="linear"))
+    with pytest.raises(ValueError):
+        fm.apply(fv, x_f[:, :223])
