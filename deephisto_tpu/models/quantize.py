@@ -483,7 +483,14 @@ class QuantizedResNet:
         # ---- input quantization (u8 fast path: /255 folds into the scale) --
         first = "conv1"
         inv0 = q[first]["in_inv_scale"]
-        if x.dtype == jnp.uint8:
+        if x.dtype == jnp.int8:
+            # pre-quantized at conv1's input scale (prequantize_input): the
+            # elementwise quantize commutes with patch gathering, so doing it
+            # once per SLIDE instead of once per overlapping patch is
+            # bit-exact and skips a full-res f32 pass per gathered batch
+            # (4x redundant at stride=patch/2 — int8_epilogue_gap.py).
+            x8 = x
+        elif x.dtype == jnp.uint8:
             x8 = jnp.clip(
                 jnp.round(x.astype(jnp.float32) * (inv0 / 255.0)), -127, 127
             ).astype(jnp.int8)
@@ -686,6 +693,25 @@ class QuantizedResNet:
             return out_f.astype(jnp.bfloat16)
         f = jnp.mean(out_f, axis=(1, 2))
         return f @ q["fc"]["kernel"] + q["fc"]["bias"]
+
+
+def prequantize_input(qvariables, image):
+    """Quantize a uint8 slide ONCE at conv1's calibrated input scale.
+
+    The stem input quantize is elementwise, so it commutes with patch
+    gathering: predicting from the pre-quantized int8 slide is bit-exact vs
+    quantizing each gathered patch (``QuantizedResNet.apply`` int8 branch),
+    but does the pass once per slide instead of once per overlapping patch —
+    4x redundant work at the reference stride=112 grid
+    (benchmarks/int8_epilogue_gap.py measures the end-to-end saving). Pass
+    the result to ``predict_full_fused`` in place of the raw image. float
+    inputs are assumed already /255-normalized (training convention)."""
+    x = jnp.asarray(image)
+    inv0 = qvariables["params"]["conv1"]["in_inv_scale"]
+    scale = inv0 / 255.0 if x.dtype == jnp.uint8 else inv0
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * scale), -127, 127
+    ).astype(jnp.int8)
 
 
 def quantize_resnet(

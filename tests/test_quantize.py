@@ -186,6 +186,38 @@ def test_uint8_ingestion_matches_float_input(batch):
     assert (ql_u8.argmax(1) == ql_f.argmax(1)).mean() >= 0.75
 
 
+def test_prequantized_input_bit_exact(batch):
+    """Slide-level pre-quantize (quantize.py prequantize_input) is bit-exact
+    vs per-patch quantize of the gathered u8: the quantize is elementwise so
+    it commutes with gathering — both the direct apply and the fused dense
+    predict must produce identical results (the exact-path epilogue-gap
+    lever, benchmarks/int8_epilogue_gap.py)."""
+    from deephisto_tpu.models.quantize import prequantize_input
+    from deephisto_tpu.predict import predict_full_fused
+
+    model = get_model(5, depth=18, stem="s2d")
+    variables = init_model(model, input_size=64, pretrained=False)
+    qmodel, qvars = quantize_resnet(model, variables, [batch])
+
+    rng = np.random.default_rng(7)
+    u8 = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    ql_u8 = np.asarray(qmodel.apply(qvars, jnp.asarray(u8)))
+    ql_q = np.asarray(qmodel.apply(qvars, prequantize_input(qvars, u8)))
+    np.testing.assert_array_equal(ql_u8, ql_q)
+
+    img = (rng.random((160, 128, 3)) * 255).astype(np.uint8)
+    am_u8, sc_u8 = predict_full_fused(
+        img, qmodel, qvars, n_classes=5, patch_size=64, stride=32,
+        batch_size=4, downscale=16,
+    )
+    am_q, sc_q = predict_full_fused(
+        prequantize_input(qvars, img), qmodel, qvars, n_classes=5,
+        patch_size=64, stride=32, batch_size=4, downscale=16,
+    )
+    np.testing.assert_array_equal(am_u8, am_q)
+    np.testing.assert_array_equal(np.asarray(sc_u8), np.asarray(sc_q))
+
+
 @pytest.mark.slow  # fast-tier trim (VERDICT r3 item 7): fcn+int8 composition covered fast by test_fcn_streamed_int8_composes
 def test_quantized_fcn_mode(batch):
     """int8 + fcn compose: QuantizedResNet exposes features=True, so the
