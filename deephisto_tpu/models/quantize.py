@@ -485,10 +485,9 @@ class QuantizedResNet:
         inv0 = q[first]["in_inv_scale"]
         if x.dtype == jnp.int8:
             # pre-quantized at conv1's input scale (prequantize_input): the
-            # elementwise quantize commutes with patch gathering, so doing it
-            # once per SLIDE instead of once per overlapping patch is
-            # bit-exact and skips a full-res f32 pass per gathered batch
-            # (4x redundant at stride=patch/2 — int8_epilogue_gap.py).
+            # elementwise quantize commutes with patch gathering, so slide-
+            # level pre-quantization is bit-exact (it is not faster — see
+            # prequantize_input's docstring / int8_epilogue_gap.py).
             x8 = x
         elif x.dtype == jnp.uint8:
             x8 = jnp.clip(
@@ -700,12 +699,15 @@ def prequantize_input(qvariables, image):
 
     The stem input quantize is elementwise, so it commutes with patch
     gathering: predicting from the pre-quantized int8 slide is bit-exact vs
-    quantizing each gathered patch (``QuantizedResNet.apply`` int8 branch),
-    but does the pass once per slide instead of once per overlapping patch —
-    4x redundant work at the reference stride=112 grid
-    (benchmarks/int8_epilogue_gap.py measures the end-to-end saving). Pass
-    the result to ``predict_full_fused`` in place of the raw image. float
-    inputs are assumed already /255-normalized (training convention)."""
+    quantizing each gathered patch (``QuantizedResNet.apply`` int8 branch;
+    asserted in tests and on full 8192-slide maps). It is NOT a speed lever:
+    measured same-run through predict_full_fused it is ~11% SLOWER than raw
+    u8 ingestion (benchmarks/int8_epilogue_gap.py r5 rows) — the per-patch
+    quantize fuses into the gather/stem for free, while the int8 slide
+    breaks that fusion. Provided for callers that need a quantized slide
+    artifact (e.g. shipping a pre-processed tensor), not for throughput.
+    float inputs are assumed already /255-normalized (training
+    convention)."""
     x = jnp.asarray(image)
     inv0 = qvariables["params"]["conv1"]["in_inv_scale"]
     scale = inv0 / 255.0 if x.dtype == jnp.uint8 else inv0
