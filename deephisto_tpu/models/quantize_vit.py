@@ -22,6 +22,8 @@ benchmarks/README.md.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -47,19 +49,40 @@ def _split_heads(qkv, b, n, heads, dim):
 
 
 BN_EPS = 1e-5  # the conv stem's nn.BatchNorm epsilon, vit.py
+GN_EPS = 1e-6  # flax nn.GroupNorm default, used by the conv_gn stem
 
 
 def _n_stem_convs(model: ViT) -> int:
-    return model.patch.bit_length() - 1 if model.stem == "conv" else 0
+    return (
+        model.patch.bit_length() - 1
+        if model.stem in ("conv", "conv_gn")
+        else 0
+    )
+
+
+def _group_norm(x, scale, bias, groups, eps=GN_EPS):
+    """flax nn.GroupNorm inference math in f32: per-sample statistics over
+    (H, W, channels-within-group). Sample-local, so it CANNOT fold into the
+    conv the way BatchNorm does — the conv_gn W8A8 stem keeps it as an f32
+    epilogue between int8 convs."""
+    b, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    return xg.reshape(b, h, w, c) * scale + bias
 
 
 def _fold_stem(model: ViT, variables):
     """Fold each stem BN into its (bias-free) 3×3/2 conv — the standard
     inference fold (same math as models/quantize.py's ResNet fold):
-    w' = w·γ/√(σ²+ε) per output channel, b' = β − μ·γ/√(σ²+ε)."""
+    w' = w·γ/√(σ²+ε) per output channel, b' = β − μ·γ/√(σ²+ε).
+    conv_gn stems have no foldable statistics → empty (handled separately)."""
     p = variables["params"]
     bs = variables.get("batch_stats", {})
     folded = []
+    if model.stem != "conv":
+        return folded
     for i in range(_n_stem_convs(model)):
         w = jnp.asarray(p[f"stem_conv{i}"]["kernel"], jnp.float32)
         bn = p[f"stem_bn{i}"]
@@ -92,6 +115,24 @@ def _float_forward(model: ViT, variables, x, record=None):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 ) + b
             )
+        note("embed", x)
+        x = jax.lax.conv_general_dilated(
+            x, jnp.asarray(p["embed"]["kernel"], jnp.float32), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(p["embed"]["bias"], jnp.float32)
+    elif model.stem == "conv_gn":
+        for i in range(_n_stem_convs(model)):
+            note(f"stem{i}", x)
+            x = jax.lax.conv_general_dilated(
+                x, jnp.asarray(p[f"stem_conv{i}"]["kernel"], jnp.float32),
+                (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            gn = p[f"stem_gn{i}"]
+            x = jax.nn.relu(_group_norm(
+                x, jnp.asarray(gn["scale"], jnp.float32),
+                jnp.asarray(gn["bias"], jnp.float32),
+                groups=math.gcd(32, x.shape[-1]),
+            ))
         note("embed", x)
         x = jax.lax.conv_general_dilated(
             x, jnp.asarray(p["embed"]["kernel"], jnp.float32), (1, 1), "VALID",
@@ -210,9 +251,24 @@ class QuantizedViT:
             return y.astype(jnp.float32) * layer["dequant"] + layer["bias"]
 
         for i in range(_n_stem_convs(model)):
-            # BN-folded int8 stem conv; dequant+bias+relu is one f32 epilogue
-            x = jax.nn.relu(qconv(q[f"stem{i}"], x, (2, 2), "SAME"))
-        emb_stride = (1, 1) if model.stem == "conv" else (model.patch, model.patch)
+            if model.stem == "conv_gn":
+                # int8 conv, then GroupNorm as an f32 epilogue (sample-local
+                # stats can't fold into the kernel the way BatchNorm does)
+                y = qconv(q[f"stem{i}"], x, (2, 2), "SAME")
+                gn = q[f"stem_gn{i}"]
+                x = jax.nn.relu(_group_norm(
+                    y, gn["scale"], gn["bias"],
+                    groups=math.gcd(32, gn["scale"].shape[-1]),
+                ))
+            else:
+                # BN-folded int8 stem conv; dequant+bias+relu is one f32
+                # epilogue
+                x = jax.nn.relu(qconv(q[f"stem{i}"], x, (2, 2), "SAME"))
+        emb_stride = (
+            (1, 1)
+            if model.stem in ("conv", "conv_gn")
+            else (model.patch, model.patch)
+        )
         xe = qconv(q["embed"], x, emb_stride, "VALID")
         b, gh, gw, d = xe.shape
         n = gh * gw
@@ -263,6 +319,17 @@ def quantize_vit(model: ViT, variables, calib_batches):
     }
     for i, (w, b) in enumerate(_fold_stem(model, variables)):
         qp[f"stem{i}"] = qweights(f"stem{i}", w, b)
+    if model.stem == "conv_gn":
+        for i in range(_n_stem_convs(model)):
+            w = jnp.asarray(p[f"stem_conv{i}"]["kernel"], jnp.float32)
+            qp[f"stem{i}"] = qweights(
+                f"stem{i}", w, jnp.zeros((w.shape[-1],), jnp.float32)
+            )
+            gn = p[f"stem_gn{i}"]
+            qp[f"stem_gn{i}"] = {
+                "scale": jnp.asarray(gn["scale"], jnp.float32),
+                "bias": jnp.asarray(gn["bias"], jnp.float32),
+            }
     qp |= {
         "ln": {
             "scale": jnp.asarray(p["ln"]["scale"], jnp.float32),

@@ -121,3 +121,46 @@ def test_conv_stem_quantized_tracks_float():
         np.linalg.norm(ql, axis=1) * np.linalg.norm(fl, axis=1) + 1e-12
     )
     assert cos.min() > 0.99, f"cosine {cos.min()}"
+
+
+def test_conv_gn_stem_quantized_tracks_float():
+    """The PP-composable conv_gn stem (round 5: 0.711 sustained on the hard
+    regime, GroupNorm = sample-local stats) quantizes too: stem convs run
+    int8 with the GroupNorm kept as an f32 epilogue (sample-local statistics
+    cannot fold into the kernel). Float walk must match the flax forward;
+    W8A8 logits must track it — the same serving story as stem="conv"."""
+    model = ViT(
+        num_classes=5, patch=8, dim=64, depth=2, heads=4, stem="conv_gn"
+    )
+    variables = model.init(jax.random.key(2), jnp.zeros((1, PS, PS, 3)))
+    # randomize GN affines: fresh-init scale 1 / bias 0 would hide epilogue
+    # wiring bugs (same lesson as the BN test above)
+    rng = np.random.default_rng(6)
+    p = variables["params"]
+    for k in list(p):
+        if k.startswith("stem_gn"):
+            p[k] = {
+                "scale": jnp.asarray(
+                    np.abs(rng.normal(1.0, 0.2, p[k]["scale"].shape)),
+                    jnp.float32,
+                ),
+                "bias": jnp.asarray(
+                    rng.normal(0.0, 0.1, p[k]["bias"].shape), jnp.float32
+                ),
+            }
+    variables = {"params": p}
+    batch = rng.random((4, PS, PS, 3)).astype(np.float32)
+
+    ref = np.asarray(model.apply(variables, batch, train=False))
+    walk = np.asarray(_float_forward(model, variables, batch))
+    np.testing.assert_allclose(walk, ref, atol=0.06, rtol=0.06)
+
+    qmodel, qvars = quantize_vit(model, variables, [batch])
+    n_stem = model.patch.bit_length() - 1
+    assert all(f"stem{i}" in qvars["params"] for i in range(n_stem))
+    assert all(f"stem_gn{i}" in qvars["params"] for i in range(n_stem))
+    ql = np.asarray(qmodel.apply(qvars, jnp.asarray(batch)))
+    cos = (ql * walk).sum(1) / (
+        np.linalg.norm(ql, axis=1) * np.linalg.norm(walk, axis=1) + 1e-12
+    )
+    assert cos.min() > 0.99, f"cosine {cos.min()}"
