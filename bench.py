@@ -112,17 +112,14 @@ def main():
     # benchmarks/fcn16k_probe7_tpu.jsonl: 142.1k vs 106.2k pack4 same-run)
     # pre_tile: additionally materialize the halo-overlapped tile grid as one
     # contiguous tensor, so each scan step reads contiguous blocks instead of
-    # gathering strided 2-D windows row by row (~21% of the program in DMA
-    # descriptors; +15.7% same-run, bit-equal — benchmarks/fcn_tiled_tpu.jsonl)
+    # gathering strided 2-D windows row by row (+5.5–6.9% sole-resident,
+    # bit-equal — benchmarks/fcn_tiled_tpu.jsonl ab_sole_residency; the
+    # round-5 +15.7% first measurement was inflated by warm drift)
     staged = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8, pre_tile=True)
-    staged8u = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8)
-    staged4 = stage_for_fcn(image, tile=TILE, halo=HALO)
     # forced completion via a single-element fetch — summing the whole packed
     # slide in f32 would materialize a ~3.2 GB temporary inside the timed
     # window (and ~12.9 GB at 32768², an OOM) for no extra sync guarantee
     float(staged.tiles[0, 0, 0, 0].astype(jnp.float32))
-    float(staged8u.packed[0, 0, 0].astype(jnp.float32))
-    float(staged4.packed[0, 0, 0].astype(jnp.float32))
     stage_s = time.perf_counter() - t0
 
     model = get_model(5, depth=18, stem="s2d")  # TPU stem (+15% vs imagenet stem)
@@ -162,21 +159,40 @@ def main():
             tile_batch=TILE_BATCH,
         )
 
+    # headline timed with ONLY its own staging resident: co-residency of
+    # extra staged representations slows the program 7–13% (allocator
+    # placement; benchmarks/fcn_tiled_tpu.jsonl ab_interleaved vs
+    # ab_sole_residency), and serving holds one staging per slide
     value, dt = best_of(fcn(qmodel, qvars, staged), reps=5)
+    del staged
 
     detail_rows = {"stage_s": round(stage_s, 4)}
-    for label, fn, reps in (
-        ("fcn_int8_pack8_untiled", fcn(qmodel, qvars, staged8u), 3),
+    # detail rows likewise run sole-resident: each staging is built just
+    # before its rows and freed before the next (the raw slide stays
+    # resident throughout, as in SlideBank serving)
+    staged8u = stage_for_fcn(image, tile=TILE, halo=HALO, pack=8)
+    float(staged8u.packed[0, 0, 0].astype(jnp.float32))
+    def time_rows(rows):
+        for label, fn, reps in rows:
+            try:
+                pps, _ = best_of(fn, reps)
+                detail_rows[label] = round(pps, 1)
+            except Exception as e:
+                detail_rows[label] = f"error: {e}"[:120]
+
+    time_rows((("fcn_int8_pack8_untiled", fcn(qmodel, qvars, staged8u), 3),))
+    del staged8u
+    staged4 = stage_for_fcn(image, tile=TILE, halo=HALO)
+    float(staged4.packed[0, 0, 0].astype(jnp.float32))
+    time_rows((
         ("fcn_int8_pack4_staged", fcn(qmodel, qvars, staged4), 3),
         ("fcn_bf16_staged", fcn(model, variables, staged4), 3),
+    ))
+    del staged4
+    time_rows((
         ("exact_bf16_round12_methodology", exact(model, variables), 3),
         ("exact_int8", exact(qmodel_exact, qvars), 3),
-    ):
-        try:
-            pps, _ = best_of(fn, reps)
-            detail_rows[label] = round(pps, 1)
-        except Exception as e:
-            detail_rows[label] = f"error: {e}"[:120]
+    ))
 
     print(
         json.dumps(
@@ -196,11 +212,13 @@ def main():
                     **detail_rows,
                     "accuracy_note": "fcn-vs-exact GT map accuracy, 9 "
                     "held-out slides (benchmarks/fidelity_study_tpu.jsonl, "
-                    "round 4): context-trained checkpoints (the recommended "
-                    "recipe, model.context 64/128) serve fcn at +2.9..+4.8 "
-                    "GT pts vs their own exact stride-112 map — "
-                    "accuracy-neutral or better; bare-patch checkpoints "
-                    "LOSE 12.5 GT pts under fcn and must serve --dense. "
+                    "rounds 4-5, 6/16/32-slide arms): context-trained "
+                    "checkpoints (the recommended recipe, model.context "
+                    "128 at >=12 train slides) serve fcn accuracy-neutral "
+                    "or better vs their own exact stride-112 map (32-slide "
+                    "CI [-1.7,+1.3]); bare-patch checkpoints LOSE 12.5-13.1 "
+                    "GT pts under fcn (9/9 slides, p=0.004) and must serve "
+                    "--dense. "
                     "int8 vs float: top-1 delta 0.0/-0.005, 100% class-map "
                     "agreement (benchmarks/int8_accuracy_tpu.jsonl; speed "
                     "here measured on a random-init model)",

@@ -341,8 +341,10 @@ class ServingEngine:
         image = np.asarray(image)
         with self._lock:
             self._requests += 1
-            # pre_tile: contiguous tile-grid staging (+15.7% per predict at
-            # ~13% more staging bytes, bit-equal — fcn_tiled_tpu.jsonl)
+            # pre_tile: contiguous tile-grid staging (+5.5–6.9% per predict
+            # when the staging is sole-resident — the serving condition — at
+            # ~13% more staging bytes, bit-equal; co-resident stagings
+            # compress the gain to zero — fcn_tiled_tpu.jsonl ab_* rows)
             staged = stage_for_fcn(
                 image, tile=self.tile, halo=self.halo, pack=pack,
                 pre_tile=True,
