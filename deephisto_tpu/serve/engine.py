@@ -25,6 +25,13 @@ import numpy as np
 
 MODES = ("fcn", "dense", "random")
 
+# pre-tiled staging cutoff: during stage_for_fcn(pre_tile=True) the raw
+# slide, packed representation, and tile grid briefly co-reside (~3x the
+# slide bytes), which exhausts v5e HBM at 32768² (benchmarks/
+# fcn_tiled_tpu.jsonl). Above this pixel count the engine stages untiled
+# (bit-equal, ~6% slower per predict).
+PRE_TILE_MAX_PIXELS = 25_000 ** 2
+
 
 class _PatchBatcher:
     """Coalesce concurrent single-patch requests into one fixed-lane program.
@@ -344,10 +351,16 @@ class ServingEngine:
             # pre_tile: contiguous tile-grid staging (+5.5–6.9% per predict
             # when the staging is sole-resident — the serving condition — at
             # ~13% more staging bytes, bit-equal; co-resident stagings
-            # compress the gain to zero — fcn_tiled_tpu.jsonl ab_* rows)
+            # compress the gain to zero — fcn_tiled_tpu.jsonl ab_* rows).
+            # Size-guarded: during staging the raw slide, the packed
+            # representation, and the tile grid briefly co-reside (~3x the
+            # slide bytes) — at 32768² that exhausts v5e HBM
+            # (fcn_tiled_tpu.jsonl int8_pack8_untiled_32768 note), so giant
+            # slides stay on the untiled staging (bit-equal, ~6% slower).
+            pre_tile = image.shape[0] * image.shape[1] <= PRE_TILE_MAX_PIXELS
             staged = stage_for_fcn(
                 image, tile=self.tile, halo=self.halo, pack=pack,
-                pre_tile=True,
+                pre_tile=pre_tile,
             )
             self._staged[key] = staged
             self._staged.move_to_end(key)

@@ -137,7 +137,24 @@ def test_patch_resizes_arbitrary_input(engine):
 
 def test_staged_slide_matches_unstaged(engine, image):
     engine.stage_slide("s1", image)
+    assert engine._staged["s1"].tiles is not None  # pre_tile under the cutoff
     amap_staged, _ = engine.predict_slide(key="s1", mode="fcn")
+    amap, _ = engine.predict_slide(image, mode="fcn")
+    np.testing.assert_array_equal(amap_staged, amap)
+
+
+def test_giant_slide_stages_untiled(engine, image, monkeypatch):
+    # above PRE_TILE_MAX_PIXELS the engine must fall back to the untiled
+    # staging (raw+packed+tile grid co-reside ~3x slide bytes during
+    # pre-tiling and OOM v5e HBM at 32768² — fcn_tiled_tpu.jsonl); the
+    # untiled path is bit-equal, so the map must not change
+    import deephisto_tpu.serve.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "PRE_TILE_MAX_PIXELS", 1)
+    engine.stage_slide("giant", image)
+    st = engine._staged["giant"]
+    assert st.tiles is None and st.packed is not None
+    amap_staged, _ = engine.predict_slide(key="giant", mode="fcn")
     amap, _ = engine.predict_slide(image, mode="fcn")
     np.testing.assert_array_equal(amap_staged, amap)
 
