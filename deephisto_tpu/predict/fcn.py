@@ -228,11 +228,12 @@ class FcnStagedSlide:
     materialized as one contiguous ``(n_tiles, T', T', C)`` uint8 tensor
     (T' = (tile + 2·halo)/pack): the predict scan then reads each step's
     tile batch as ONE contiguous block instead of gathering overlapping 2-D
-    windows row by row — the window gather costs ~21% of the whole 16384²
-    program in per-row DMA descriptors (benchmarks/fcn_mfu_tpu.jsonl
-    cut8_slice: 0.034 s of 0.164 s). The overlap duplication costs ~13%
-    more staging bytes; ``packed`` is not retained (predict never reads it
-    when tiles exist)."""
+    windows row by row. Measured +5.5–6.9% end-to-end when the staging is
+    sole-resident (the slice cut itself times identically — the gather is
+    bandwidth-bound, not descriptor-bound; benchmarks/README.md "pre-tiled
+    staging, corrected"). The overlap duplication costs ~13% more staging
+    bytes; ``packed`` is not retained (predict never reads it when tiles
+    exist)."""
 
     __slots__ = ("packed", "h", "w", "tile", "halo", "pack", "tiles")
 
@@ -262,8 +263,13 @@ def stage_for_fcn(
 
     pre_tile=True additionally materializes the halo-overlapped tile grid as
     one contiguous tensor (FcnStagedSlide.tiles docstring) — ~13% more
-    staging bytes for a measured ~17% faster 16384² predict (the window
-    gather was ~21% of the program; benchmarks/fcn_mfu_tpu.jsonl)."""
+    staging bytes for a measured +5.5–6.9% faster 16384² predict when the
+    staging is sole-resident (the serving condition; extra resident staged
+    representations compress the gain to zero — benchmarks/README.md
+    "pre-tiled staging, corrected", fcn_tiled_tpu.jsonl ab_* rows). On
+    DEVICE inputs at giant sizes (≳25k²) pre-tiling OOMs (raw + packed +
+    tiles co-reside); host arrays build the grid host-side and upload only
+    the tiles."""
     if pack not in (4, 8):
         raise ValueError(f"pack must be 4 or 8, got {pack}")
     host = isinstance(image, np.ndarray)

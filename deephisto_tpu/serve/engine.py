@@ -25,11 +25,14 @@ import numpy as np
 
 MODES = ("fcn", "dense", "random")
 
-# pre-tiled staging cutoff: during stage_for_fcn(pre_tile=True) the raw
-# slide, packed representation, and tile grid briefly co-reside (~3x the
-# slide bytes), which exhausts v5e HBM at 32768² (benchmarks/
-# fcn_tiled_tpu.jsonl). Above this pixel count the engine stages untiled
-# (bit-equal, ~6% slower per predict).
+# pre-tiled staging cutoff. Two measured reasons (benchmarks/
+# fcn_tiled_tpu.jsonl): (1) on device inputs the raw slide, packed form,
+# and tile grid briefly co-reside (~3x the slide bytes) during staging
+# and exhaust v5e HBM at 32768²; (2) even on the host staging path (only
+# the tile grid uploads), pre_tile measures a WASH at 32768²
+# (-2.6%/+0.5% — the ~10 ms it saves at 16384² does not scale with
+# area). Above this pixel count the engine stages untiled: bit-equal,
+# 13% fewer staging bytes, no measured cost.
 PRE_TILE_MAX_PIXELS = 25_000 ** 2
 
 
