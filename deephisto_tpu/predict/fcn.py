@@ -318,7 +318,7 @@ def stage_for_fcn(
 @functools.lru_cache(maxsize=32)
 def _make_fcn_program(
     model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch=1,
-    pre_packed=False, pre_tiled=False,
+    pre_packed=False, pre_tiled=False, scan_unroll=1, scan_prefetch=False,
 ):
     """Build (and cache) the jitted whole-slide fcn program for concrete
     sizes. ``model`` must be hashable (flax Modules are frozen dataclasses;
@@ -368,35 +368,61 @@ def _make_fcn_program(
         fc_kernel = jnp.asarray(variables["params"]["fc"]["kernel"], jnp.float32)
         fc_bias = jnp.asarray(variables["params"]["fc"]["bias"], jnp.float32)
 
-        def tile_step(_, idxs):
+        def gather_tiles(idxs):
             if pre_tiled:
                 # ``padded`` is the (n_tiles, T', T', C) contiguous tile
                 # tensor: each tile read is ONE contiguous block (axis-0
                 # gather), not a strided 2-D window — the window gather's
                 # per-row DMA descriptors cost ~21% of the whole program
                 # (FcnStagedSlide.tiles docstring)
-                xin = jax.vmap(
+                return jax.vmap(
                     lambda t: jax.lax.dynamic_index_in_dim(
                         padded, t, axis=0, keepdims=False
                     )
                 )(idxs)
-            else:
-                def slice_one(t):
-                    return jax.lax.dynamic_slice(
-                        padded,
-                        ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
-                        ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
-                         padded.shape[-1]),
-                    )
 
-                xin = jax.vmap(slice_one)(idxs)  # (tb, T', T', C) u8 [packed]
+            def slice_one(t):
+                return jax.lax.dynamic_slice(
+                    padded,
+                    ((t // tx) * (tile // pk), (t % tx) * (tile // pk), 0),
+                    ((tile + 2 * halo) // pk, (tile + 2 * halo) // pk,
+                     padded.shape[-1]),
+                )
+
+            return jax.vmap(slice_one)(idxs)  # (tb, T', T', C) u8 [packed]
+
+        def tile_step(_, idxs):
             return None, tile_logits(
-                model, variables, xin, hh, ft, fc_kernel, pre_packed=pre_packed
+                model, variables, gather_tiles(idxs), hh, ft, fc_kernel,
+                pre_packed=pre_packed,
             )
 
-        _, tiles_l = jax.lax.scan(
-            tile_step, None, jnp.asarray(idx.reshape(n_steps, tb))
-        )
+        steps = jnp.asarray(idx.reshape(n_steps, tb))
+        if scan_prefetch and n_steps > 1:
+            # Software-pipelined gather: the scan CARRIES the tile batch and
+            # each body computes on the carried tiles while gathering the
+            # NEXT step's — the gather no longer feeds its own body's convs,
+            # so XLA's latency-hiding scheduler may overlap the slice DMA
+            # (21% of the program, MFU account) with the MXU-bound backbone.
+            # Output order is unchanged (body i emits logits of steps[i]);
+            # the final element re-gathers the last batch (discarded), the
+            # one extra gather being the price of the 1-deep pipeline.
+            nxt = jnp.concatenate([steps[1:], steps[-1:]])
+
+            def pf_step(carry_x, idxs_next):
+                out = tile_logits(
+                    model, variables, carry_x, hh, ft, fc_kernel,
+                    pre_packed=pre_packed,
+                )
+                return gather_tiles(idxs_next), out
+
+            _, tiles_l = jax.lax.scan(
+                pf_step, gather_tiles(steps[0]), nxt, unroll=scan_unroll
+            )
+        else:
+            _, tiles_l = jax.lax.scan(
+                tile_step, None, steps, unroll=scan_unroll
+            )
         nc = tiles_l.shape[-1]
         logit_map = (
             tiles_l.reshape(n_steps * tb, ft, ft, nc)[:n_tiles]
@@ -424,6 +450,8 @@ def predict_full_fcn(
     tile: int = 1024,
     halo: int = 64,
     tile_batch: int = 16,
+    scan_unroll: int = 1,
+    scan_prefetch: bool = False,
 ):
     """Overlap-free dense full-WSI prediction (module docstring for the
     design). Drop-in alternative to ``predict_full_fused`` — same return
@@ -443,7 +471,12 @@ def predict_full_fcn(
     conv zero-padding into their features, so less synthetic context sits
     closer to patch behavior — benchmarks/fcn_agreement_tpu.jsonl) and is
     ~5-9% faster; serving deployments should prefer it unless the model was
-    context-trained with larger real context. Measured headline (16384²
+    context-trained with larger real context. ``scan_unroll`` /
+    ``scan_prefetch`` are measured-NEUTRAL scheduling hooks (bit-identical
+    maps): lax.scan unrolling and a 1-deep software-pipelined gather both
+    timed 0 ± 4% on v5e at 8192² and 16384² (benchmarks/fcn_unroll_tpu.jsonl
+    — the MFU account's stage-1 "scan-context" residual is intra-body, not
+    inter-iteration). Measured headline (16384²
     slide, pack=8 staged, int8 pack_l1 + s2d8 stem): 123.3k equivalent
     patches/s ResNet-18, 41.0k ResNet-50 (tb8 is r50's optimum) —
     benchmarks/README.md round-3 sessions 5-6. For slides beyond the HBM
@@ -511,7 +544,8 @@ def predict_full_fcn(
         )
     program = _make_fcn_program(
         model, tile, halo, n_classes, patch_size, downscale, h, w, tile_batch,
-        pre_packed=pre_packed, pre_tiled=pre_tiled,
+        pre_packed=pre_packed, pre_tiled=pre_tiled, scan_unroll=scan_unroll,
+        scan_prefetch=scan_prefetch,
     )
     argmax_map, score = program(padded, variables)
     return np.asarray(argmax_map), score

@@ -154,6 +154,25 @@ def test_fcn_tile_seams_are_clean(small_model, image):
     assert rel < 0.05, rel
 
 
+def test_fcn_scan_unroll_is_bit_identical(small_model, image):
+    """scan_unroll only widens the XLA scheduling window (lax.scan unroll);
+    the computed tiles are the same program, so maps must be bit-equal —
+    including a non-divisible n_steps/unroll pair (scan's remainder path)."""
+    model, variables = small_model
+    am1, s1 = predict_full_fcn(
+        image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+        halo=32, tile_batch=2, scan_unroll=1,
+    )
+    for kw in ({"scan_unroll": 2}, {"scan_unroll": 3},
+               {"scan_prefetch": True}, {"scan_prefetch": True, "scan_unroll": 2}):
+        am_u, s_u = predict_full_fcn(
+            image, model, variables, 5, patch_size=PS, downscale=D, tile=64,
+            halo=32, tile_batch=2, **kw,
+        )
+        np.testing.assert_array_equal(am1, am_u)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s_u))
+
+
 def test_fcn_agrees_with_exact_path_on_piecewise_constant_image(small_model):
     """On large uniform regions every 224-window sees identical content, so
     the fcn ensemble and the exact stride-based ensemble must agree away from
